@@ -1,0 +1,367 @@
+"""Mergeable sketches for distributed column checks.
+
+Every sketch here follows the same contract so it can run as per-batch
+partials inside ``map_batches`` and merge associatively (tree or linear) in a
+small actor / on the driver:
+
+    s = Sketch(...); s.update(numpy_array); s.merge(other); s.summary()
+    Sketch.from_state(s.state())   # plain-dict state → shippable via Arrow/JSON
+
+Numerics are vectorized (numpy); no Python loop touches row data except the
+t-digest centroid compression, which is O(centroids) not O(rows).
+
+These generalize the reference's validate-or-reject contract to column level
+(SURVEY.md §2.D "Aggregations"); the reference itself has no aggregates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# --------------------------------------------------------------------- moments
+
+
+class ColumnStats:
+    """count / nulls / min / max / mean / variance via Chan's parallel update."""
+
+    __slots__ = ("count", "nulls", "vmin", "vmax", "mean", "m2")
+
+    def __init__(self) -> None:
+        self.count = 0          # non-null values
+        self.nulls = 0
+        self.vmin = math.inf
+        self.vmax = -math.inf
+        self.mean = 0.0
+        self.m2 = 0.0
+
+    def update(self, values: np.ndarray, null_count: int = 0) -> None:
+        self.nulls += null_count
+        n = values.size
+        if n == 0:
+            return
+        b_mean = float(values.mean())
+        b_m2 = float(((values - b_mean) ** 2).sum())
+        self.vmin = min(self.vmin, float(values.min()))
+        self.vmax = max(self.vmax, float(values.max()))
+        self._combine(n, b_mean, b_m2)
+
+    def _combine(self, n: int, b_mean: float, b_m2: float) -> None:
+        total = self.count + n
+        delta = b_mean - self.mean
+        self.mean += delta * n / total
+        self.m2 += b_m2 + delta * delta * self.count * n / total
+        self.count = total
+
+    def merge(self, other: "ColumnStats") -> "ColumnStats":
+        self.nulls += other.nulls
+        if other.count:
+            self.vmin = min(self.vmin, other.vmin)
+            self.vmax = max(self.vmax, other.vmax)
+            self._combine(other.count, other.mean, other.m2)
+        return self
+
+    def state(self) -> dict:
+        return {
+            "count": self.count, "nulls": self.nulls, "min": self.vmin,
+            "max": self.vmax, "mean": self.mean, "m2": self.m2,
+        }
+
+    @classmethod
+    def from_state(cls, s: dict) -> "ColumnStats":
+        out = cls()
+        out.count = int(s["count"])
+        out.nulls = int(s["nulls"])
+        out.vmin = float(s["min"])
+        out.vmax = float(s["max"])
+        out.mean = float(s["mean"])
+        out.m2 = float(s["m2"])
+        return out
+
+    def summary(self) -> dict:
+        var = self.m2 / self.count if self.count else float("nan")
+        return {
+            "count": self.count,
+            "nulls": self.nulls,
+            "null_rate": self.nulls / (self.count + self.nulls) if (self.count + self.nulls) else 0.0,
+            "min": self.vmin if self.count else None,
+            "max": self.vmax if self.count else None,
+            "mean": self.mean if self.count else None,
+            "std": math.sqrt(var) if self.count else None,
+        }
+
+
+# -------------------------------------------------------------------- t-digest
+
+
+class TDigest:
+    """Merging t-digest (Dunning) for streaming quantiles.
+
+    Buffered: updates append, compression runs when the buffer passes
+    ``4 * compression`` points; merge concatenates centroid sets and
+    recompresses — associative up to quantile error ~1/compression.
+    """
+
+    __slots__ = ("compression", "means", "weights", "_buf_m", "_buf_w")
+
+    def __init__(self, compression: int = 200) -> None:
+        self.compression = compression
+        self.means = np.empty(0)
+        self.weights = np.empty(0)
+        self._buf_m: list[np.ndarray] = []
+        self._buf_w: list[np.ndarray] = []
+
+    def update(self, values: np.ndarray) -> None:
+        if values.size == 0:
+            return
+        self._buf_m.append(np.asarray(values, dtype=np.float64))
+        self._buf_w.append(np.ones(values.size))
+        if sum(m.size for m in self._buf_m) + self.means.size > 4 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._compress()
+        if other.means.size:
+            self._buf_m.append(other.means)
+            self._buf_w.append(other.weights)
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if not self._buf_m and self.means.size <= 2 * self.compression:
+            return
+        if self.means.size:
+            self._buf_m.append(self.means)
+            self._buf_w.append(self.weights)
+        if not self._buf_m:
+            return
+        m = np.concatenate(self._buf_m)
+        w = np.concatenate(self._buf_w)
+        self._buf_m, self._buf_w = [], []
+        order = np.argsort(m, kind="mergesort")
+        m, w = m[order], w[order]
+        total = w.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        q0 = 0.0
+        cur_m, cur_w = m[0], w[0]
+        k_limit = self._k_inv(self._k(q0) + 1.0, )
+        for i in range(1, m.size):
+            q = q0 + (cur_w + w[i]) / total
+            if q <= k_limit:
+                cur_m += (m[i] - cur_m) * w[i] / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                k_limit = self._k_inv(self._k(q0) + 1.0)
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def _k(self, q: float) -> float:
+        return self.compression * (math.asin(2 * min(max(q, 0.0), 1.0) - 1) / math.pi + 0.5)
+
+    def _k_inv(self, k: float) -> float:
+        return (math.sin(min(k, self.compression) * math.pi / self.compression - math.pi / 2) + 1) / 2
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def state(self) -> dict:
+        self._compress()
+        return {
+            "compression": self.compression,
+            "means": self.means.tolist(),
+            "weights": self.weights.tolist(),
+        }
+
+    @classmethod
+    def from_state(cls, s: dict) -> "TDigest":
+        out = cls(int(s["compression"]))
+        out.means = np.array(s["means"], dtype=np.float64)
+        out.weights = np.array(s["weights"], dtype=np.float64)
+        return out
+
+
+# ---------------------------------------------------------------------- HLL++
+
+
+class HyperLogLog:
+    """HyperLogLog++ (dense; 64-bit hashes, bias-free long-range estimator)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    @staticmethod
+    def hash64(values) -> np.ndarray:
+        """Vectorized 64-bit mix of arbitrary values (via bytes → u64 FNV/splitmix)."""
+        import pandas as pd
+        h = pd.util.hash_array(np.asarray(values), categorize=False).astype(np.uint64)
+        # splitmix64 finisher for avalanche
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        tail = h << np.uint64(self.p)
+        # rank = leading zeros of tail + 1 (tail==0 → 64-p+1)
+        nz = tail != 0
+        rank = np.full(h.size, 64 - self.p + 1, dtype=np.uint8)
+        if nz.any():
+            # leading zeros via bit_length: lz = 64 - bit_length(tail)
+            bl = np.zeros(h.size, dtype=np.int64)
+            t = tail.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                mask = t >= (np.uint64(1) << np.uint64(shift))
+                bl[mask] += shift
+                t[mask] >>= np.uint64(shift)
+            bl[t > 0] += 1
+            rank_nz = (64 - bl + 1).astype(np.uint8)
+            rank = np.where(nz, rank_nz, rank)
+        np.maximum.at(self.registers, idx, rank)
+
+    def update(self, values) -> None:
+        self.update_hashes(self.hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            return m * math.log(m / zeros)  # linear counting for small cardinalities
+        return float(est)
+
+    def state(self) -> dict:
+        return {"p": self.p, "registers": self.registers.tobytes().hex()}
+
+    @classmethod
+    def from_state(cls, s: dict) -> "HyperLogLog":
+        out = cls(int(s["p"]))
+        out.registers = np.frombuffer(bytes.fromhex(s["registers"]), dtype=np.uint8).copy()
+        return out
+
+
+# ---------------------------------------------------------------------- Bloom
+
+
+class BloomFilter:
+    """Broadcastable Bloom filter for referential membership probes.
+
+    Build once from the dimension side, ``ray.put`` the state, probe per batch
+    (vectorized double hashing: g_i = h1 + i*h2 mod m).
+    """
+
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, capacity: int, fp_rate: float = 1e-3) -> None:
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, round(self.m / max(capacity, 1) * math.log(2)))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = HyperLogLog.hash64(values)
+        h2 = (h1 >> np.uint64(33)) | np.uint64(1)   # odd → full-period stride
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def state(self) -> dict:
+        return {"m": self.m, "k": self.k, "bits": self.bits.tobytes().hex()}
+
+    @classmethod
+    def from_state(cls, s: dict) -> "BloomFilter":
+        out = cls.__new__(cls)
+        out.m = int(s["m"])
+        out.k = int(s["k"])
+        out.bits = np.frombuffer(bytes.fromhex(s["bits"]), dtype=np.uint64).copy()
+        return out
+
+
+# -------------------------------------------------------------------- histogram
+
+
+class Histogram:
+    """Fixed-bin histogram (mergeable) — backbone for PSI / KS drift checks."""
+
+    __slots__ = ("edges", "counts")
+
+    def __init__(self, edges: np.ndarray) -> None:
+        self.edges = np.asarray(edges, dtype=np.float64)
+        self.counts = np.zeros(self.edges.size + 1, dtype=np.int64)  # under/overflow bins
+
+    def update(self, values: np.ndarray) -> None:
+        if values.size:
+            self.counts += np.bincount(
+                np.searchsorted(self.edges, values, side="right"),
+                minlength=self.counts.size,
+            )
+
+    def merge(self, other: "Histogram") -> "Histogram":
+        self.counts += other.counts
+        return self
+
+    def state(self) -> dict:
+        return {"edges": self.edges.tolist(), "counts": self.counts.tolist()}
+
+    @classmethod
+    def from_state(cls, s: dict) -> "Histogram":
+        out = cls(np.array(s["edges"]))
+        out.counts = np.array(s["counts"], dtype=np.int64)
+        return out
+
+
+def psi(expected: Histogram, observed: Histogram, eps: float = 1e-6) -> float:
+    """Population Stability Index between two same-edged histograms."""
+    e = expected.counts.astype(np.float64)
+    o = observed.counts.astype(np.float64)
+    e = np.clip(e / max(e.sum(), 1.0), eps, None)
+    o = np.clip(o / max(o.sum(), 1.0), eps, None)
+    return float(np.sum((o - e) * np.log(o / e)))
+
+
+def ks_statistic(expected: Histogram, observed: Histogram) -> float:
+    """Kolmogorov–Smirnov D statistic from binned CDFs (same edges)."""
+    e = expected.counts.astype(np.float64)
+    o = observed.counts.astype(np.float64)
+    e_cdf = np.cumsum(e) / max(e.sum(), 1.0)
+    o_cdf = np.cumsum(o) / max(o.sum(), 1.0)
+    return float(np.max(np.abs(e_cdf - o_cdf)))

@@ -1,0 +1,206 @@
+"""Deterministic synthetic clips table (audio + transcript pairs).
+
+BASELINE.json input_hint fixes the shape:
+
+    clip_id:string  bytes:binary  sr_hz:int32  dur_ms:int32
+    codec:string    transcript:string
+
+No external data: every cell is a pure function of (seed, row index), so any
+scale can be regenerated identically on every node — generation itself runs
+distributed as ``ray.data.range(n).map_batches(make_clips_batch)``.
+
+Planted defects (rates deterministic per seed) exercise every check family:
+
+    dup_id        duplicate clip_id             → exact-dedup shuffle
+    bad_json      malformed transcript          → repair kernel (repairable)
+    junk          unrepairable transcript       → violation row
+    schema_bad    wrong field types             → schema fixer coercion
+    audio_corrupt noise-replaced audio          → SNR < 30 dB
+    audio_trunc   truncated payload             → decode error
+    sr_out        sr_hz outside {8000..48000}   → range check
+    dur_lie       dur_ms != payload length      → duration check
+
+The ``codec`` column is deliberately skewed (~70% pcm16) to exercise
+skew-aware salted groupbys (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from engine.audio import encode_wav, reference_signal
+
+CODECS = np.array(["pcm16", "pcm8", "opus", "flac"])
+CODEC_P = np.array([0.70, 0.20, 0.07, 0.03])
+SR_CHOICES = np.array([8000, 16000, 22050, 44100], dtype=np.int32)
+SR_P = np.array([0.5, 0.3, 0.15, 0.05])
+LANGS = ["en", "es", "de", "fr", "zh"]
+WORDS = (
+    "the quick brown fox jumps over a lazy dog while rain falls on green hills "
+    "and data streams flow through the valley of sound"
+).split()
+
+# Defect rates (fractions of rows).
+RATES = {
+    "dup_id": 0.005,
+    "bad_json": 0.08,
+    "junk": 0.01,
+    "schema_bad": 0.04,
+    "audio_corrupt": 0.01,
+    "audio_trunc": 0.005,
+    "sr_out": 0.004,
+    "dur_lie": 0.006,
+}
+
+TRANSCRIPT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "text": {"type": "string"},
+        "lang": {"type": "string"},
+        "confidence": {"type": "number"},
+        "words": {
+            "type": "array",
+            "items": {
+                "type": "object",
+                "properties": {
+                    "w": {"type": "string"},
+                    "t0": {"type": "integer"},
+                    "t1": {"type": "integer"},
+                },
+                "required": ["w"],
+            },
+        },
+    },
+    "required": ["text", "lang"],
+}
+
+
+def _defect_for(i: int, rng: np.random.Generator) -> str:
+    """Pick at most one defect class per row, deterministically."""
+    u = rng.random()
+    acc = 0.0
+    for name, rate in RATES.items():
+        acc += rate
+        if u < acc:
+            return name
+    return "clean"
+
+
+def _make_transcript(rng: np.random.Generator, dur_ms: int, defect: str) -> str:
+    n_words = max(1, int(dur_ms / 300))
+    words = [WORDS[rng.integers(0, len(WORDS))] for _ in range(n_words)]
+    t = 0
+    word_objs = []
+    for w in words:
+        t1 = t + int(rng.integers(150, 400))
+        word_objs.append({"w": w, "t0": t, "t1": min(t1, dur_ms)})
+        t = t1
+    doc = {
+        "text": " ".join(words),
+        "lang": LANGS[rng.integers(0, len(LANGS))],
+        "confidence": round(float(rng.uniform(0.5, 1.0)), 4),
+        "words": word_objs,
+    }
+    raw = json.dumps(doc)
+    if defect == "schema_bad":
+        doc["confidence"] = str(doc["confidence"])          # number as string
+        doc["words"] = json.dumps(doc["words"])             # array as JSON string
+        return json.dumps(doc)
+    if defect == "bad_json":
+        # Repairable malformations, in the reference's input domain.
+        style = int(rng.integers(0, 6))
+        if style == 0:
+            return raw.replace('"', "'")
+        if style == 1:
+            return raw[: int(len(raw) * 0.8)]                # truncated stream
+        if style == 2:
+            return "```json\n" + raw + "\n```"
+        if style == 3:
+            return raw.replace('", "', '" "', 1)             # missing comma
+        if style == 4:
+            return raw.replace(': "', ': ', 1).replace('", "lang"', ', "lang"', 1)  # unquoted value
+        return "Model output: " + raw + " hope this helps!"
+    if defect == "junk":
+        return ""  # nothing recoverable
+    return raw
+
+
+def make_clips_batch(batch: dict, *, seed: int = 42) -> pa.Table:
+    """Vector-of-rows generator: {'id': ndarray} → clips rows (pyarrow Table).
+
+    Use with ``ray.data.range(n).map_batches(make_clips_batch, batch_format="numpy")``.
+    """
+    ids = np.asarray(batch["id"], dtype=np.int64)
+    clip_ids: list[str] = []
+    blobs: list[bytes] = []
+    srs = np.empty(ids.size, dtype=np.int32)
+    durs = np.empty(ids.size, dtype=np.int32)
+    codecs: list[str] = []
+    transcripts: list[str] = []
+
+    for row, i in enumerate(ids):
+        rng = np.random.default_rng((seed << 20) ^ int(i))
+        defect = _defect_for(int(i), rng)
+
+        if defect == "dup_id" and i > 0:
+            cid = f"clip-{int(i) - 1:012d}"      # collide with the previous id
+        else:
+            cid = f"clip-{int(i):012d}"
+
+        sr = int(SR_CHOICES[rng.choice(len(SR_CHOICES), p=SR_P)])
+        if defect == "sr_out":
+            sr = int(rng.choice([300, 192000]))
+        dur_ms = int(rng.integers(200, 1200))
+        n_samples = int(round(sr * dur_ms / 1000.0))
+        codec = str(CODECS[rng.choice(len(CODECS), p=CODEC_P)])
+
+        sig = reference_signal(cid, sr, n_samples)
+        if defect == "audio_corrupt":
+            sig = rng.normal(0.0, 0.3, n_samples).astype(np.float32)
+        raw = encode_wav(sig, sr, codec)
+        if defect == "audio_trunc":
+            raw = raw[: max(10, len(raw) // 3)]
+        if defect == "dur_lie":
+            dur_ms = dur_ms + int(rng.integers(50, 200))
+
+        clip_ids.append(cid)
+        blobs.append(raw)
+        srs[row] = sr
+        durs[row] = dur_ms
+        codecs.append(codec)
+        transcripts.append(_make_transcript(rng, dur_ms, defect))
+
+    return pa.table(
+        {
+            "clip_id": pa.array(clip_ids, pa.string()),
+            "bytes": pa.array(blobs, pa.large_binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+            "dur_ms": pa.array(durs, pa.int32()),
+            "codec": pa.array(codecs, pa.string()),
+            "transcript": pa.array(transcripts, pa.string()),
+        }
+    )
+
+
+def clips_dataset(n_clips: int, *, seed: int = 42, parallelism: int = -1):
+    """Distributed deterministic clips table as a ray.data.Dataset."""
+    import ray.data
+
+    ds = ray.data.range(n_clips, override_num_blocks=parallelism if parallelism > 0 else None)
+    return ds.map_batches(
+        lambda b: make_clips_batch(b, seed=seed),
+        batch_format="numpy",
+        batch_size=512,
+    )
+
+
+def clips_count_for_sf_dir(sf_dir: str) -> int:
+    """Scale the synthetic clips table with the test-data scale factor."""
+    if "0.001" in sf_dir:
+        return 1_000
+    if "0.01" in sf_dir:
+        return 10_000
+    return 100_000

@@ -1,0 +1,267 @@
+"""Validation pipeline assembly: clips table → verdicts, violations, metrics.
+
+Execution model (north_rule):
+
+  clips (Dataset, streaming blocks)
+    → TranscriptRepairStage     [actor pool — compiled validators per worker]
+    → AudioCheckStage           [actor pool — decoder context per worker]
+    → fan-out:
+        a) verdict rows         → write_parquet(part=K/)   [resumable]
+        b) violation rows       → write_parquet(part=K/)
+        c) sketch partials      → tiny rows → driver merge [combiner pattern]
+        d) grouped stats        → partials → groupby(codec).map_groups merge
+        e) exact dedup          → project clip_id → groupby count > 1
+    → metrics.json + per-partition manifest (lineage + counts)
+
+Resume: the run is split into deterministic partitions (contiguous id
+ranges).  Each partition writes outputs then an atomic manifest; a re-run
+skips partitions whose manifest exists.  This is the Lance-checkpoint stand-in
+(Lance is not installed here — storage seam kept in one place, see SURVEY §7.6).
+
+Drift: per-run histograms are compared (PSI / KS) against a frozen baseline
+sketch shipped with the repo (engine/data/baseline_sketch.json), regenerated
+by ``python -m engine.baseline``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from engine.checks.sketches import Histogram, ks_statistic, psi
+from engine.data.clips import clips_dataset
+from engine.stages import (
+    AudioCheckStage,
+    TranscriptRepairStage,
+    grouped_stats_partials,
+    merge_grouped_states,
+    merge_sketch_partials,
+    sketch_partials_batch,
+    violations_batch,
+)
+
+BASELINE_SKETCH_PATH = Path(__file__).parent / "data" / "baseline_sketch.json"
+
+VERDICT_COLS = [
+    "clip_id", "sr_hz", "dur_ms", "codec", "parse_ok", "repair_count",
+    "lang", "confidence", "text_len", "audio_ok", "snr_db", "meta_ok",
+]
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds: two stages share the CPUs, so each pool
+    may scale to roughly half the cluster and never deadlocks on placement."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus // 2))
+
+
+def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=None,
+                           batch_size: int = 256):
+    """Attach the two check stages to a clips Dataset (lazy)."""
+    if repair_concurrency is None:
+        repair_concurrency = _default_concurrency()
+    if audio_concurrency is None:
+        audio_concurrency = _default_concurrency()
+    ds = ds.map_batches(
+        TranscriptRepairStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=repair_concurrency,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        AudioCheckStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=audio_concurrency,
+        zero_copy_batch=True,
+    )
+    return ds
+
+
+def _merge_columnstats_summaries(merged: dict) -> dict:
+    return {col: s.summary() for col, s in merged["stats"].items()}
+
+
+def drift_report(hists: dict, baseline_path: Path = BASELINE_SKETCH_PATH) -> dict:
+    """PSI + KS of this run's histograms vs the frozen baseline sketch."""
+    if not baseline_path.exists():
+        return {"available": False}
+    frozen = json.loads(baseline_path.read_text())
+    out: dict = {"available": True}
+    for col, state in frozen["hists"].items():
+        if col not in hists:
+            continue
+        expected = Histogram.from_state(state)
+        observed = hists[col]
+        out[col] = {
+            "psi": round(psi(expected, observed), 6),
+            "ks": round(ks_statistic(expected, observed), 6),
+            "drifted": psi(expected, observed) > 0.2,
+        }
+    return out
+
+
+def run_validation(
+    n_clips: int,
+    out_dir: str,
+    *,
+    seed: int = 42,
+    n_partitions: int = 4,
+    batch_size: int = 256,
+    resume: bool = True,
+    concurrency=None,
+) -> dict:
+    """Full resumable validation run.  Returns the metrics dict."""
+    out = Path(out_dir)
+    (out / "manifest").mkdir(parents=True, exist_ok=True)
+    per_part = -(-n_clips // n_partitions)
+    t_start = time.time()
+
+    all_metrics: list[dict] = []
+    for part in range(n_partitions):
+        manifest_path = out / "manifest" / f"part={part}.json"
+        if resume and manifest_path.exists():
+            all_metrics.append(json.loads(manifest_path.read_text())["metrics"])
+            continue
+        lo = part * per_part
+        hi = min(lo + per_part, n_clips)
+        if lo >= hi:
+            continue
+        metrics = _run_partition(part, lo, hi, out, seed, batch_size, concurrency)
+        manifest = {
+            "partition": part,
+            "row_range": [lo, hi],
+            "seed": seed,
+            "engine_version": "0.1.0",
+            "written_at": time.time(),
+            "metrics": metrics,
+        }
+        tmp = manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, manifest_path)  # atomic: manifest present == partition done
+        all_metrics.append(metrics)
+
+    summary = _finalize(all_metrics, out)
+    summary["wall_s"] = round(time.time() - t_start, 3)
+    summary["clips_per_s"] = round(n_clips / max(summary["wall_s"], 1e-9), 1)
+    (out / "metrics.json").write_text(json.dumps(summary, default=str, indent=2))
+    return summary
+
+
+def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
+                   batch_size: int, concurrency) -> dict:
+    import ray.data
+
+    from engine.data.clips import make_clips_batch
+
+    ds = ray.data.range(hi - lo).map_batches(
+        lambda b: make_clips_batch({"id": np.asarray(b["id"]) + lo}, seed=seed),
+        batch_format="numpy",
+        batch_size=min(512, batch_size),
+    )
+    checked = validate_clips_dataset(ds, repair_concurrency=concurrency,
+                                     audio_concurrency=concurrency, batch_size=batch_size)
+    # Audio payloads must not flow past this point: project them away before
+    # any wide/fan-out consumer.
+    slim = checked.select_columns(VERDICT_COLS + ["transcript_error", "meta_error", "audio_error"])
+    slim = slim.materialize()  # bounded: verdict columns only (no audio bytes)
+
+    # a) verdict rows (resumable layout: one dir per partition)
+    slim.select_columns(VERDICT_COLS).write_parquet(str(out / "verdicts" / f"part={part}"))
+
+    # b) violation rows
+    viol = slim.map_batches(violations_batch, batch_format="pyarrow", zero_copy_batch=True)
+    viol.write_parquet(str(out / "violations" / f"part={part}"))
+    n_violations = viol.count()
+
+    # c) sketch partials → merge on driver (rows == #batches, tiny)
+    partial_rows = slim.map_batches(sketch_partials_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True).take_all()
+    merged = merge_sketch_partials([json.loads(r["partial"]) for r in partial_rows])
+
+    # d) grouped stats by skewed codec — partials bound the shuffle
+    grouped = (
+        slim.map_batches(grouped_stats_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("codec")
+        .map_groups(merge_grouped_states, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # e) exact dedup: shuffle only the key column
+    dup_rows = (
+        slim.select_columns(["clip_id"])
+        .groupby("clip_id")
+        .count()
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t.column("count()"), 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+
+    totals = merged["totals"]
+    return {
+        "partition": part,
+        "rows": totals["rows"],
+        "parse_ok": totals["parse_ok"],
+        "audio_ok": totals["audio_ok"],
+        "meta_ok": totals["meta_ok"],
+        "repairs": totals["repairs"],
+        "violations": int(n_violations),
+        "duplicate_ids": [{"clip_id": r["clip_id"], "count": r["count()"]} for r in dup_rows],
+        "stats": {c: s.state() for c, s in merged["stats"].items()},
+        "digest_dur_p50": merged["digests"]["dur_ms"].quantile(0.5),
+        "digest_snr_p05": merged["digests"]["snr_db"].quantile(0.05),
+        "hll_clip_id": merged["hll"].state(),
+        "hists": {c: h.state() for c, h in merged["hists"].items()},
+        "grouped_codec": grouped,
+    }
+
+
+def _finalize(parts: list[dict], out: Path) -> dict:
+    from engine.checks.sketches import ColumnStats, HyperLogLog
+
+    rows = sum(p["rows"] for p in parts)
+    stats: dict[str, ColumnStats] = {}
+    hll = HyperLogLog()
+    hists: dict[str, Histogram] = {}
+    for p in parts:
+        for col, st in p["stats"].items():
+            cs = ColumnStats.from_state(st)
+            stats[col] = stats[col].merge(cs) if col in stats else cs
+        hll.merge(HyperLogLog.from_state(p["hll_clip_id"]))
+        for col, st in p["hists"].items():
+            h = Histogram.from_state(st)
+            hists[col] = hists[col].merge(h) if col in hists else h
+    dup_total = sum(len(p["duplicate_ids"]) for p in parts)
+    verdict_pass = all(
+        p["parse_ok"] + p["audio_ok"] > 0 for p in parts
+    )
+    return {
+        "rows": rows,
+        "partitions": len(parts),
+        "parse_ok": sum(p["parse_ok"] for p in parts),
+        "audio_ok": sum(p["audio_ok"] for p in parts),
+        "meta_ok": sum(p["meta_ok"] for p in parts),
+        "repairs": sum(p["repairs"] for p in parts),
+        "violations": sum(p["violations"] for p in parts),
+        "duplicate_id_groups": dup_total,
+        "distinct_clip_ids_approx": round(hll.estimate()),
+        "column_stats": {c: s.summary() for c, s in stats.items()},
+        "drift": drift_report(hists),
+        "per_partition_pass": [
+            {"partition": p["partition"],
+             "pass": p["violations"] == 0 and not p["duplicate_ids"]}
+            for p in parts
+        ],
+        "overall_pass": verdict_pass and dup_total == 0,
+    }

@@ -1,0 +1,309 @@
+"""Ray Data stages of the validation pipeline.
+
+Each stage is a batch transform over zero-copy Arrow batches:
+
+  - ``TranscriptRepairStage``  — actor-pool callable (compiled schema
+    validators are per-worker state, mirroring the reference's validator
+    cache schema_repair.py:141-161); repairs/validates the transcript column.
+  - ``AudioCheckStage``        — actor-pool callable; decode + SNR invariant.
+  - ``sketch_partials_batch``  — stateless partial-aggregation task emitting
+    one small state row per batch (combiner pattern: the all-to-all merge
+    sees #batches rows, not #rows).
+  - ``grouped_stats_partials`` — per-(group, batch) partial stats rows; the
+    downstream groupby shuffles only partial rows, which is how hot groups
+    (skewed ``codec``) stay cheap.
+
+All per-row work that can be vectorized is (numpy/pyarrow.compute); the JSON
+repair kernel is inherently per-row but takes the strict-parse fast path
+first (reference json_repair.py:166-189 economics: ~50-100x cheaper).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.audio import ALL_CODECS, check_clip_audio
+from engine.checks.sketches import ColumnStats, Histogram, HyperLogLog, TDigest
+from engine.data.clips import LANGS, TRANSCRIPT_SCHEMA
+from engine.repair.api import repair_json
+from engine.repair.schema import SchemaFixer
+
+SR_RANGE = (8000, 48000)
+MIN_SNR_DB = 30.0
+
+
+# ------------------------------------------------------------ transcript stage
+
+
+class TranscriptRepairStage:
+    """Repair + schema-validate the transcript column.  Actor-pool callable.
+
+    Adds columns:
+        parse_ok: bool         repaired: string (canonical JSON or null)
+        repair_count: int32    transcript_error: string (null when ok)
+        lang: string           confidence: float64   text_len: int32
+    """
+
+    def __init__(self, schema: dict | None = None, mode: str = "standard") -> None:
+        self.schema = schema if schema is not None else TRANSCRIPT_SCHEMA
+        # Compiled once per actor; fix() reuses cached jsonschema validators.
+        self.fixer = SchemaFixer(self.schema, None, mode=mode)
+
+    def repair_one(self, raw: str) -> tuple[bool, str | None, int, str | None]:
+        # Fast path: strict parse, then schema repair of the parsed object.
+        try:
+            value = json.loads(raw)
+            n_repairs = 0
+        except (json.JSONDecodeError, TypeError, ValueError):
+            log: list[dict] = []
+            try:
+                value, log = repair_json(raw, return_objects=True, skip_json_loads=True, logging=True)
+            except ValueError as exc:
+                return False, None, 0, f"repair: {exc}"
+            n_repairs = len(log)
+        try:
+            fixed = self.fixer.fix(value, self.schema, "$")
+            self.fixer.validate(fixed, self.schema)
+        except ValueError as exc:
+            return False, None, n_repairs, f"schema: {exc}"
+        return True, json.dumps(fixed, sort_keys=True), n_repairs, None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch.column("transcript").to_pylist()
+        ok = np.zeros(len(raws), dtype=bool)
+        repaired: list[str | None] = []
+        counts = np.zeros(len(raws), dtype=np.int32)
+        errors: list[str | None] = []
+        langs: list[str | None] = []
+        confs = np.full(len(raws), np.nan)
+        text_lens = np.zeros(len(raws), dtype=np.int32)
+        for i, raw in enumerate(raws):
+            good, fixed, n, err = self.repair_one(raw)
+            ok[i] = good
+            repaired.append(fixed)
+            counts[i] = n
+            errors.append(err)
+            if good:
+                doc = json.loads(fixed)
+                langs.append(doc.get("lang"))
+                conf = doc.get("confidence")
+                if isinstance(conf, (int, float)):
+                    confs[i] = conf
+                text_lens[i] = len(doc.get("text", ""))
+            else:
+                langs.append(None)
+        return batch.append_column("parse_ok", pa.array(ok)) \
+            .append_column("repaired", pa.array(repaired, pa.string())) \
+            .append_column("repair_count", pa.array(counts)) \
+            .append_column("transcript_error", pa.array(errors, pa.string())) \
+            .append_column("lang", pa.array(langs, pa.string())) \
+            .append_column("confidence", pa.array(confs)) \
+            .append_column("text_len", pa.array(text_lens))
+
+
+# ----------------------------------------------------------------- audio stage
+
+
+class AudioCheckStage:
+    """Decode audio + SNR>=30dB invariant + flat metadata range checks.
+
+    Actor-pool callable (decoder context per worker).  Adds columns:
+        audio_ok: bool   snr_db: float64   audio_error: string
+        meta_ok: bool    meta_error: string
+    """
+
+    def __init__(self, min_snr_db: float = MIN_SNR_DB) -> None:
+        self.min_snr_db = min_snr_db
+        self.allowed_codecs = set(ALL_CODECS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        clip_ids = batch.column("clip_id").to_pylist()
+        srs = batch.column("sr_hz").to_numpy()
+        durs = batch.column("dur_ms").to_numpy()
+        codecs = batch.column("codec").to_pylist()
+        blobs = batch.column("bytes")
+
+        # Vectorized flat-column checks first.
+        sr_ok = (srs >= SR_RANGE[0]) & (srs <= SR_RANGE[1])
+        dur_ok = (durs > 0) & (durs <= 60_000)
+        codec_ok = np.array([c in self.allowed_codecs for c in codecs])
+        meta_ok = sr_ok & dur_ok & codec_ok
+        meta_err = [
+            None if m else ("sr_out_of_range" if not s else ("bad_duration" if not d else "unknown_codec"))
+            for m, s, d in zip(meta_ok, sr_ok, dur_ok)
+        ]
+
+        ok = np.zeros(n, dtype=bool)
+        snrs = np.full(n, np.nan)
+        errs: list[str | None] = []
+        for i in range(n):
+            if not meta_ok[i]:
+                errs.append(None)  # meta failure already recorded; skip decode
+                continue
+            v = check_clip_audio(clip_ids[i], blobs[i].as_py(), int(srs[i]), int(durs[i]),
+                                 codecs[i], self.min_snr_db)
+            ok[i] = v["audio_ok"]
+            if v["snr_db"] is not None:
+                snrs[i] = v["snr_db"]
+            errs.append(v["audio_error"])
+        return batch.append_column("audio_ok", pa.array(ok)) \
+            .append_column("snr_db", pa.array(snrs)) \
+            .append_column("audio_error", pa.array(errs, pa.string())) \
+            .append_column("meta_ok", pa.array(meta_ok)) \
+            .append_column("meta_error", pa.array(meta_err, pa.string()))
+
+
+# ----------------------------------------------------------- sketch partials
+
+
+# Shared histogram edges so partials merge across batches and runs.
+SNR_EDGES = np.linspace(0.0, 120.0, 49)
+DUR_EDGES = np.linspace(0.0, 2000.0, 41)
+CONF_EDGES = np.linspace(0.0, 1.0, 21)
+
+
+def sketch_partials_batch(batch: pa.Table) -> pa.Table:
+    """One partial-state row per batch: column stats, t-digests, HLL, histograms."""
+    durs = batch.column("dur_ms").to_numpy().astype(np.float64)
+    srs = batch.column("sr_hz").to_numpy().astype(np.float64)
+    snr = batch.column("snr_db").to_numpy(zero_copy_only=False)
+    conf = batch.column("confidence").to_numpy(zero_copy_only=False)
+    snr_valid = snr[np.isfinite(snr)]
+    conf_valid = conf[np.isfinite(conf)]
+
+    def stats_state(values, nulls=0):
+        s = ColumnStats()
+        s.update(values, nulls)
+        return s.state()
+
+    def digest_state(values):
+        t = TDigest()
+        t.update(values)
+        return t.state()
+
+    hll = HyperLogLog()
+    hll.update(np.asarray(batch.column("clip_id").to_pylist(), dtype=object))
+
+    h_snr = Histogram(SNR_EDGES)
+    h_snr.update(np.clip(snr_valid, 0, 119.9))
+    h_dur = Histogram(DUR_EDGES)
+    h_dur.update(durs)
+    h_conf = Histogram(CONF_EDGES)
+    h_conf.update(conf_valid)
+
+    state = {
+        "rows": batch.num_rows,
+        "parse_ok": int(pc.sum(batch.column("parse_ok")).as_py() or 0),
+        "audio_ok": int(pc.sum(batch.column("audio_ok")).as_py() or 0),
+        "meta_ok": int(pc.sum(batch.column("meta_ok")).as_py() or 0),
+        "repairs": int(pc.sum(batch.column("repair_count")).as_py() or 0),
+        "stats": {
+            "dur_ms": stats_state(durs),
+            "sr_hz": stats_state(srs),
+            "snr_db": stats_state(snr_valid, nulls=int(snr.size - snr_valid.size)),
+            "confidence": stats_state(conf_valid, nulls=int(conf.size - conf_valid.size)),
+        },
+        "digests": {"dur_ms": digest_state(durs), "snr_db": digest_state(snr_valid)},
+        "hll_clip_id": hll.state(),
+        "hists": {"snr_db": h_snr.state(), "dur_ms": h_dur.state(), "confidence": h_conf.state()},
+    }
+    return pa.table({"partial": pa.array([json.dumps(state)], pa.large_string())})
+
+
+def merge_sketch_partials(states: list[dict]) -> dict:
+    """Associative driver-side merge of per-batch partial states."""
+    totals = {"rows": 0, "parse_ok": 0, "audio_ok": 0, "meta_ok": 0, "repairs": 0}
+    stats: dict[str, ColumnStats] = {}
+    digests: dict[str, TDigest] = {}
+    hll = HyperLogLog()
+    hists: dict[str, Histogram] = {}
+    for s in states:
+        for k in totals:
+            totals[k] += s[k]
+        for col, st in s["stats"].items():
+            cs = ColumnStats.from_state(st)
+            stats[col] = stats[col].merge(cs) if col in stats else cs
+        for col, st in s["digests"].items():
+            td = TDigest.from_state(st)
+            digests[col] = digests[col].merge(td) if col in digests else td
+        hll.merge(HyperLogLog.from_state(s["hll_clip_id"]))
+        for col, st in s["hists"].items():
+            h = Histogram.from_state(st)
+            hists[col] = hists[col].merge(h) if col in hists else h
+    return {"totals": totals, "stats": stats, "digests": digests, "hll": hll, "hists": hists}
+
+
+# ------------------------------------------------------- grouped stats (skew)
+
+
+def grouped_stats_partials(batch: pa.Table, key: str = "codec", value_col: str = "dur_ms") -> pa.Table:
+    """Per-(group, batch) partial rows.  Pre-aggregation bounds shuffle volume:
+    a hot codec contributes at most one row per batch regardless of skew.
+    """
+    keys = np.asarray(batch.column(key).to_pylist(), dtype=object)
+    values = batch.column(value_col).to_numpy().astype(np.float64)
+    out_keys: list[str] = []
+    out_states: list[str] = []
+    for k in np.unique(keys):
+        s = ColumnStats()
+        s.update(values[keys == k])
+        out_keys.append(str(k))
+        out_states.append(json.dumps(s.state()))
+    return pa.table({key: pa.array(out_keys, pa.string()),
+                     "state": pa.array(out_states, pa.large_string())})
+
+
+def merge_grouped_states(group: pa.Table, key: str = "codec") -> pa.Table:
+    """map_groups finalizer: merge partial states of one group into summary row."""
+    merged = ColumnStats()
+    for st in group.column("state").to_pylist():
+        merged.merge(ColumnStats.from_state(json.loads(st)))
+    summary = merged.summary()
+    return pa.table({
+        key: pa.array([group.column(key)[0].as_py()], pa.string()),
+        "cnt": pa.array([summary["count"]], pa.int64()),
+        "mean": pa.array([summary["mean"]], pa.float64()),
+        "min": pa.array([summary["min"]], pa.float64()),
+        "max": pa.array([summary["max"]], pa.float64()),
+        "std": pa.array([summary["std"]], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------- violations
+
+
+def violations_batch(batch: pa.Table) -> pa.Table:
+    """Explode verdict columns into violation rows {clip_id, check, code, message}."""
+    clip_ids = batch.column("clip_id").to_pylist()
+    rows_id: list[str] = []
+    rows_check: list[str] = []
+    rows_msg: list[str] = []
+
+    def emit(mask_col: str, err_col: str, check: str):
+        oks = batch.column(mask_col).to_numpy(zero_copy_only=False)
+        errs = batch.column(err_col).to_pylist()
+        for i in np.nonzero(~oks)[0]:
+            rows_id.append(clip_ids[i])
+            rows_check.append(check)
+            rows_msg.append(errs[i] or check)
+
+    emit("parse_ok", "transcript_error", "transcript")
+    emit("meta_ok", "meta_error", "metadata")
+    # audio failures only count where metadata was sane (decode was attempted)
+    meta = batch.column("meta_ok").to_numpy(zero_copy_only=False)
+    audio = batch.column("audio_ok").to_numpy(zero_copy_only=False)
+    errs = batch.column("audio_error").to_pylist()
+    for i in np.nonzero(meta & ~audio)[0]:
+        rows_id.append(clip_ids[i])
+        rows_check.append("audio")
+        rows_msg.append(errs[i] or "audio")
+    return pa.table({
+        "clip_id": pa.array(rows_id, pa.string()),
+        "check": pa.array(rows_check, pa.string()),
+        "message": pa.array(rows_msg, pa.string()),
+    })
