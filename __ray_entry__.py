@@ -1,44 +1,247 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship clips-validation pipeline at sf0.001 scale.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives DuckDB
+equivalents for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize the sf0.001-scale clips table, run both check
+    stages, return the verdict rows (Dataset)."""
+    from engine.data.clips import clips_dataset
+    from engine.run import VERDICT_COLS, validate_clips_dataset
+
+    ds = clips_dataset(1_000, seed=42)
+    return validate_clips_dataset(ds, batch_size=256).select_columns(VERDICT_COLS)
+
+
+# --------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) queries
+
+
+def _validate_clips(sf_dir: str):
+    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
+    from engine.run import VERDICT_COLS, validate_clips_dataset
+
+    n = min(clips_count_for_sf_dir(sf_dir), 10_000)
+    ds = cached_clips_dataset(n, seed=42)
+    return validate_clips_dataset(ds, batch_size=256).select_columns(VERDICT_COLS)
+
+
+def _clips_violations(sf_dir: str):
+    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
+    from engine.run import validate_clips_dataset
+    from engine.stages import violations_batch
+
+    n = min(clips_count_for_sf_dir(sf_dir), 10_000)
+    ds = validate_clips_dataset(cached_clips_dataset(n, seed=42), batch_size=256)
+    return ds.map_batches(violations_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(["clip_id", "check"])
+
+
+def _minhash_near_dup(sf_dir: str):
+    import ray.data
+
+    from engine.ops.dedup import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, min_est_jaccard=0.5, concurrency=(1, 8)).sort(["a", "b"])
+
+
+def _simhash_near_dup(sf_dir: str):
+    import ray.data
+
+    from engine.ops.dedup import simhash_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3, concurrency=(1, 8)).sort(["a", "b"])
+
+
+def _jaccard_near_dup(sf_dir: str):
+    import ray.data
+
+    from engine.ops.dedup import jaccard_verify, minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.4, concurrency=(1, 8))
+    cand = cand.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return jaccard_verify(cand, docs, min_jaccard=0.5).sort(["a", "b"])
+
+
+def _knn_lsh_top10(sf_dir: str):
+    import ray.data
+
+    from engine.ops.similarity import knn_lsh
+    from engine.queries import _query_vector
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = knn_lsh(emb, _query_vector(sf_dir), k=10, max_hamming=3)
+    return top.map_batches(
+        lambda t: pa.table({"vec_id": t.column("vec_id"),
+                            "sim": pa.array(np.round(t.column("sim").to_numpy(), 5))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from engine.ops.similarity import near_dup_cosine_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_cosine_pairs(emb, threshold=0.9).sort(["a", "b"])
+
+
+def _lang_quality_documents(sf_dir: str):
+    import ray.data
+
+    from engine.ops.text import LangIdStage, TokenStatsStage
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = docs.map_batches(TokenStatsStage, batch_format="pyarrow", concurrency=(1, 4)) \
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang_pred": t.column("lang_pred"),
+            "quality": pa.array(np.round(t.column("quality").to_numpy(), 4)),
+            "stop_ratio": pa.array(np.round(t.column("stop_ratio").to_numpy(), 4)),
+        }), batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def _rolling_fingerprint(sf_dir: str):
+    import ray.data
+
+    from engine.ops.text import FingerprintStage
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return docs.map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)) \
+        .map_batches(lambda t: t.select(["doc_id", "roll_fp"]), batch_format="pyarrow",
+                     zero_copy_batch=True).sort("doc_id")
+
+
+def _hll_distinct_users(sf_dir: str):
+    import ray.data
+
+    from engine.checks.sketches import HyperLogLog
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog()
+        h.update(batch.column("user_id").to_numpy())
+        return pa.table({"state": pa.array([json.dumps(h.state())], pa.large_string())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    merged = HyperLogLog()
+    for r in rows:
+        merged.merge(HyperLogLog.from_state(json.loads(r["state"])))
+    return pa.table({"n_users_approx": pa.array([int(round(merged.estimate()))], pa.int64())})
+
+
+def _tdigest_quantity(sf_dir: str):
+    import ray.data
+
+    from engine.checks.sketches import TDigest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = TDigest()
+        t.update(batch.column("l_quantity").to_numpy())
+        return pa.table({"state": pa.array([json.dumps(t.state())], pa.large_string())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    merged = TDigest()
+    for r in rows:
+        merged.merge(TDigest.from_state(json.loads(r["state"])))
+    return pa.table({
+        "p50": pa.array([round(merged.quantile(0.5), 2)]),
+        "p95": pa.array([round(merged.quantile(0.95), 2)]),
+        "p99": pa.array([round(merged.quantile(0.99), 2)]),
+    })
+
+
+def _audio_features(sf_dir: str):
+    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
+    from engine.ops.multimodal import AudioFeatureStage
+
+    n = min(clips_count_for_sf_dir(sf_dir), 5_000)
+    ds = cached_clips_dataset(n, seed=42)
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8))
+    return out.map_batches(
+        lambda t: pa.table({
+            "clip_id": t.column("clip_id"),
+            "decode_ok": t.column("decode_ok"),
+            "n_samples": t.column("n_samples"),
+            "rms": pa.array(np.round(t.column("rms").to_numpy(zero_copy_only=False), 4)),
+        }), batch_format="pyarrow", zero_copy_batch=True).sort("clip_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "stats_lineitem_quantity": q.stats_lineitem_quantity,
+        "grouped_stats_orderpriority": q.grouped_stats_orderpriority,
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "distinct_users_events": q.distinct_users_events,
+        "orphan_orders": q.orphan_orders,
+        "orders_per_segment": q.orders_per_segment,
+        "top10_orders": q.top10_orders,
+        "repair_extract_events": q.repair_extract_events,
+        "token_stats_documents": q.token_stats_documents,
+        "fingerprint_md5_documents": q.fingerprint_md5_documents,
+        "events_daily_by_type": q.events_daily_by_type,
+        "knn_cosine_top10": q.knn_cosine_top10,
+        # rows-only (approximate / non-SQL-expressible / synthetic clips table)
+        "validate_clips": _validate_clips,
+        "clips_violations": _clips_violations,
+        "minhash_near_dup": _minhash_near_dup,
+        "simhash_near_dup": _simhash_near_dup,
+        "jaccard_near_dup": _jaccard_near_dup,
+        "knn_lsh_top10": _knn_lsh_top10,
+        "embedding_near_dup": _embedding_near_dup,
+        "lang_quality_documents": _lang_quality_documents,
+        "rolling_fingerprint": _rolling_fingerprint,
+        "hll_distinct_users": _hll_distinct_users,
+        "tdigest_quantity": _tdigest_quantity,
+        "audio_features": _audio_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine import queries as q
+
+    return {
+        "q1_pricing_summary": q.Q1_SQL,
+        "stats_lineitem_quantity": q.STATS_QTY_SQL,
+        "grouped_stats_orderpriority": q.GROUPED_ORDERS_SQL,
+        "dedup_exact_documents": q.DEDUP_EXACT_SQL,
+        "distinct_users_events": q.DISTINCT_USERS_SQL,
+        "orphan_orders": q.ORPHAN_ORDERS_SQL,
+        "orders_per_segment": q.ORDERS_PER_SEGMENT_SQL,
+        "top10_orders": q.TOP10_ORDERS_SQL,
+        "repair_extract_events": q.REPAIR_EXTRACT_SQL,
+        "token_stats_documents": q.TOKEN_STATS_SQL,
+        "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
+        "events_daily_by_type": q.EVENTS_DAILY_SQL,
+        "knn_cosine_top10": q.KNN_SQL,
+    }

@@ -39,15 +39,19 @@ def clip_seed(clip_id: str) -> int:
 
 
 def reference_signal(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
-    """Deterministic float32 waveform in [-1, 1] for a clip id."""
+    """Deterministic float32 waveform in [-1, 1] for a clip id.
+
+    Computed in float32 end-to-end: this function runs twice per clip (once in
+    the generator, once in the validator) and is the audio stage's hot loop.
+    """
     rng = np.random.default_rng(clip_seed(clip_id))
     f0 = rng.uniform(80.0, 1200.0)
     f1 = f0 * rng.uniform(1.5, 3.0)
-    a0, a1 = rng.uniform(0.3, 0.6), rng.uniform(0.1, 0.3)
-    t = np.arange(n_samples, dtype=np.float64) / sr_hz
-    sig = a0 * np.sin(2 * np.pi * f0 * t) + a1 * np.sin(2 * np.pi * f1 * t)
-    sig += rng.normal(0.0, 0.01, n_samples)  # synthesis noise, well above quantization
-    return np.clip(sig, -1.0, 1.0).astype(np.float32)
+    a0, a1 = np.float32(rng.uniform(0.3, 0.6)), np.float32(rng.uniform(0.1, 0.3))
+    t = np.arange(n_samples, dtype=np.float32) * np.float32(1.0 / sr_hz)
+    sig = a0 * np.sin(np.float32(2 * np.pi * f0) * t) + a1 * np.sin(np.float32(2 * np.pi * f1) * t)
+    sig += rng.standard_normal(n_samples, dtype=np.float32) * np.float32(0.01)
+    return np.clip(sig, -1.0, 1.0)
 
 
 # -------------------------------------------------------------------- encode

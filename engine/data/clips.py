@@ -197,6 +197,32 @@ def clips_dataset(n_clips: int, *, seed: int = 42, parallelism: int = -1):
     )
 
 
+def cached_clips_dataset(n_clips: int, *, seed: int = 42,
+                         cache_root: str = "/tmp/graft_clips_cache"):
+    """clips_dataset materialized once to partitioned parquet, then read back.
+
+    Synthesis is deterministic, so the cache key is (n, seed).  Written to a
+    temp dir then atomically renamed, so concurrent callers never see a
+    partial table.  Reading parquet also exercises the real ingest path
+    (column pruning, row groups) that production would use.
+    """
+    import os
+
+    import ray.data
+
+    path = f"{cache_root}/n{n_clips}_seed{seed}"
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        clips_dataset(n_clips, seed=seed).write_parquet(tmp)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # another writer won the race
+    return ray.data.read_parquet(path)
+
+
 def clips_count_for_sf_dir(sf_dir: str) -> int:
     """Scale the synthetic clips table with the test-data scale factor."""
     if "0.001" in sf_dir:

@@ -1,0 +1,98 @@
+"""Multimodal column operators (binary payloads + typed metadata).
+
+The audio path is fully real (this repo's WAV codecs).  Image / video decode
+is STUBBED behind ``NotImplementedError`` — the codec libraries are not in
+this container — but the Ray-side plumbing (schema, actor-pool signature,
+batch sizing, output layout) is real and tested with a deterministic fake so
+swapping in Pillow / PyAV later is a one-class change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.audio import AudioDecodeError, decode_any
+
+
+class AudioFeatureStage:
+    """bytes+codec → (rms, zero_cross_rate, n_samples, decode_ok).  Real decode."""
+
+    def __init__(self, bytes_col: str = "bytes", codec_col: str = "codec") -> None:
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col)
+        codecs = batch.column(self.codec_col).to_pylist()
+        n = batch.num_rows
+        rms = np.full(n, np.nan)
+        zcr = np.full(n, np.nan)
+        samples = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                sig, _sr = decode_any(blobs[i].as_py(), codecs[i])
+            except (AudioDecodeError, NotImplementedError):
+                continue
+            ok[i] = True
+            samples[i] = sig.size
+            if sig.size:
+                rms[i] = float(np.sqrt(np.mean(sig.astype(np.float64) ** 2)))
+                zcr[i] = float(np.mean(np.signbit(sig[1:]) != np.signbit(sig[:-1])))
+        return batch.drop_columns([self.bytes_col]).append_column("rms", pa.array(rms)) \
+            .append_column("zero_cross_rate", pa.array(zcr)) \
+            .append_column("n_samples", pa.array(samples)) \
+            .append_column("decode_ok", pa.array(ok))
+
+
+class ImageDecodeStage:
+    """STUB: binary image column → (width, height, mode) metadata.
+
+    Real decode requires Pillow (absent here).  ``fake=True`` produces
+    deterministic metadata from the payload bytes so pipelines and schemas can
+    be exercised end-to-end; ``fake=False`` raises NotImplementedError the way
+    the real integration point would surface a missing codec.
+    """
+
+    def __init__(self, bytes_col: str = "image", fake: bool = True) -> None:
+        self.bytes_col = bytes_col
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("image decode requires Pillow; not available in this environment")
+        blobs = batch.column(self.bytes_col)
+        n = batch.num_rows
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            raw = blobs[i].as_py() or b""
+            # Deterministic fake: dimensions derived from payload digest.
+            d = sum(raw[:16]) if raw else 0
+            w[i] = 64 + (d % 192)
+            h[i] = 64 + ((d * 7) % 192)
+        return batch.append_column("width", pa.array(w)) \
+            .append_column("height", pa.array(h)) \
+            .append_column("mode", pa.array(["RGB"] * n, pa.string()))
+
+
+class FrameSampleStage:
+    """STUB: binary video column → sampled frame offsets (layout-real, decode-fake)."""
+
+    def __init__(self, bytes_col: str = "video", n_frames: int = 4, fake: bool = True) -> None:
+        self.bytes_col = bytes_col
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("video decode requires PyAV; not available in this environment")
+        blobs = batch.column(self.bytes_col)
+        offsets = []
+        for i in range(batch.num_rows):
+            raw = blobs[i].as_py() or b""
+            span = max(len(raw), 1)
+            offsets.append([int(j * span / self.n_frames) for j in range(self.n_frames)])
+        return batch.append_column(
+            "frame_offsets", pa.array(offsets, pa.list_(pa.int64())))

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exactness baseline: the query matrix is
+broadcast once (``ray.put`` / closure capture of a small ndarray), each batch
+does one numpy matmul and local top-k, and the global merge sorts only
+(#batches x k) candidate rows.  The LSH-bucketed variant is the scale path:
+random-hyperplane signatures bucket the corpus so only matching buckets are
+scored.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False) if hasattr(arr, "values") else arr.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(flat).reshape(batch.num_rows, -1).astype(np.float32)
+
+
+def knn_brute_force(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
+                    col: str = "embedding"):
+    """Exact cosine top-k: per-batch matmul + local top-k, global sort-limit.
+
+    Returns a Dataset of (id_col, sim) with exactly k rows, best first.
+    """
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, col)
+        norms = np.linalg.norm(mat, axis=1) + 1e-30
+        sims = (mat @ qn) / norms
+        take = min(k, sims.size)
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(idx)),
+            "sim": pa.array(sims[idx].astype(np.float64)),
+        })
+
+    candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.sort("sim", descending=True).limit(k)
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+
+def _signs_to_key(signs: np.ndarray) -> np.ndarray:
+    bits = (np.uint64(1) << np.arange(signs.shape[1], dtype=np.uint64))
+    return (signs.astype(np.uint64) @ bits).astype(np.int64)
+
+
+def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
+            col: str = "embedding", n_bits: int = 12, max_hamming: int = 2):
+    """Approximate top-k: score only rows whose hyperplane bucket is within
+    ``max_hamming`` bits of the query's bucket (candidate pruning per batch,
+    no shuffle at all — the planes are broadcast with the closure)."""
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+    planes = _hyperplanes(q.size, n_bits)
+    q_key = int(_signs_to_key((qn @ planes > 0)[None, :])[0])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, col)
+        keys = _signs_to_key(mat @ planes > 0)
+        x = (keys.astype(np.uint64)) ^ np.uint64(q_key)
+        ham = np.zeros(x.size, dtype=np.int64)
+        for shift in range(n_bits):
+            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+        cand = np.nonzero(ham <= max_hamming)[0]
+        if cand.size == 0:
+            return pa.table({id_col: pa.array([], batch.column(id_col).type),
+                             "sim": pa.array([], pa.float64())})
+        sub = mat[cand]
+        sims = (sub @ qn) / (np.linalg.norm(sub, axis=1) + 1e-30)
+        take = min(k, sims.size)
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(cand[idx])),
+            "sim": pa.array(sims[idx].astype(np.float64)),
+        })
+
+    candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.sort("sim", descending=True).limit(k)
+
+
+def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
+                          col: str = "embedding", n_bits: int = 10, cap: int = 256):
+    """Embedding near-dup pairs: hyperplane-bucket groupby, exact cosine inside
+    each bucket (cap bounds a hot bucket's quadratic cost)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, col)
+        planes = _hyperplanes(mat.shape[1], n_bits)
+        keys = _signs_to_key(mat @ planes > 0)
+        norms = np.linalg.norm(mat, axis=1) + 1e-30
+        unit = (mat / norms[:, None]).astype(np.float32)
+        return pa.table({
+            "bucket": pa.array(keys),
+            id_col: batch.column(id_col),
+            "unit": pa.FixedSizeListArray.from_arrays(
+                pa.array(unit.reshape(-1)), mat.shape[1]),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        unit_arr = group.column("unit")
+        if isinstance(unit_arr, pa.ChunkedArray):
+            unit_arr = unit_arr.combine_chunks()
+        dim = unit_arr.type.list_size
+        unit = np.asarray(unit_arr.values.to_numpy(zero_copy_only=False),
+                          dtype=np.float32).reshape(n, dim)
+        ids = group.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids, unit = ids[order], unit[order]
+        if n > cap:
+            ids, unit = ids[:cap], unit[:cap]
+            n = cap
+        sims = unit @ unit.T
+        ai, bi = np.triu_indices(n, k=1)
+        s = sims[ai, bi]
+        keep = (s >= threshold) & (ids[ai] != ids[bi])
+        return pa.table({"a": pa.array(ids[ai][keep]), "b": pa.array(ids[bi][keep]),
+                         "cosine": pa.array(s[keep].astype(np.float64))})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )

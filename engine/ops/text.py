@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All are stateless-per-row but with compiled state (regexes, stopword
+profiles) built once per actor — hence callable classes for ``map_batches``.
+
+  TokenStatsStage   — token counts (whitespace + BPE-ish regex), punctuation /
+                      digit / stopword ratios, quality score
+  LangIdStage       — stopword + script n-gram heuristic language ID
+  FingerprintStage  — md5 content fingerprint + 64-bit rolling (Rabin-Karp)
+                      min-fingerprint for shift-robust identity
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# Tiny public stopword profiles (top function words per language).
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "una", "los", "las", "es", "por", "con"},
+    "de": {"der", "die", "das", "und", "zu", "in", "den", "von", "ist", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "des", "est", "en", "que", "pour"},
+}
+
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+class TokenStatsStage:
+    """Adds ws_tokens, re_tokens, punct_ratio, digit_ratio, stop_ratio, quality."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.tok = re.compile(BPE_ISH)
+        self.punct = re.compile(r"[^\w\s]")
+        self.digit = re.compile(r"\d")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        ws = np.zeros(n, dtype=np.int64)
+        rt = np.zeros(n, dtype=np.int64)
+        pr = np.zeros(n)
+        dr = np.zeros(n)
+        sr = np.zeros(n)
+        q = np.zeros(n)
+        en_stop = STOPWORDS["en"]
+        for i, t in enumerate(texts):
+            t = t or ""
+            words = t.split()
+            ws[i] = len(words)
+            rt[i] = len(self.tok.findall(t))
+            L = max(len(t), 1)
+            pr[i] = len(self.punct.findall(t)) / L
+            dr[i] = len(self.digit.findall(t)) / L
+            if words:
+                sr[i] = sum(1 for w in words if w.lower() in en_stop) / len(words)
+            # Quality: length sweet spot, low punct/digit noise, some stopwords.
+            length_score = min(len(t) / 200.0, 1.0)
+            q[i] = max(0.0, min(1.0,
+                       0.4 * length_score + 0.3 * (1.0 - min(pr[i] * 5, 1.0))
+                       + 0.1 * (1.0 - min(dr[i] * 5, 1.0)) + 0.2 * min(sr[i] * 3, 1.0)))
+        return batch.append_column("ws_tokens", pa.array(ws)) \
+            .append_column("re_tokens", pa.array(rt)) \
+            .append_column("punct_ratio", pa.array(pr)) \
+            .append_column("digit_ratio", pa.array(dr)) \
+            .append_column("stop_ratio", pa.array(sr)) \
+            .append_column("quality", pa.array(q))
+
+
+class LangIdStage:
+    """Heuristic language ID: CJK script ranges, else stopword-profile vote."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def classify(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        if self.cjk.search(text):
+            return "zh", 1.0
+        words = [w.lower() for w in text.split()]
+        if not words:
+            return "und", 0.0
+        best_lang, best_hits = "und", 0
+        for lang, stops in STOPWORDS.items():
+            hits = sum(1 for w in words if w in stops)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        if best_hits == 0:
+            return "en", 0.1  # latin-script default
+        return best_lang, min(1.0, best_hits / max(len(words) * 0.2, 1.0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs, confs = [], np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            lang, conf = self.classify(t or "")
+            langs.append(lang)
+            confs[i] = conf
+        return batch.append_column("lang_pred", pa.array(langs, pa.string())) \
+            .append_column("lang_conf", pa.array(confs))
+
+
+class FingerprintStage:
+    """md5 hex fingerprint + rolling-hash (Rabin-Karp window) min-fingerprint."""
+
+    BASE = np.uint64(1099511628211)
+
+    def __init__(self, text_col: str = "text", window: int = 16) -> None:
+        self.text_col = text_col
+        self.window = window
+
+    def rolling_min(self, text: str) -> int:
+        data = text.encode("utf-8", "ignore")
+        w = self.window
+        if len(data) <= w:
+            data = data + b"\0" * (w + 1 - len(data))
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        powers = self.BASE ** np.arange(w, dtype=np.uint64)
+        # windows matrix via stride trick, then dot with powers (mod 2^64)
+        n_win = arr.size - w + 1
+        idx = np.arange(w)[None, :] + np.arange(n_win)[:, None]
+        hashes = (arr[idx] * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        return int(hashes.min())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8", "ignore")).hexdigest() for t in texts]
+        rolls = np.array([self.rolling_min(t or "") for t in texts], dtype=np.uint64)
+        return batch.append_column("md5", pa.array(md5s, pa.string())) \
+            .append_column("roll_fp", pa.array(rolls.astype(np.int64)))

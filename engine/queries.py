@@ -1,0 +1,442 @@
+"""Graded query implementations over the driver test tables.
+
+Each function takes ``sf_dir`` and returns a small result (pyarrow Table or
+Dataset) that matches its DuckDB oracle in ``__ray_entry__.oracle_sql`` by
+column NAME and VALUE.  Conventions that make distributed float math
+hash-stable against a single-process SQL engine:
+
+  - money sums go through integer cents (order-independent exact int64 sums);
+  - derived ratios are computed from those exact ints, then rounded;
+  - cosine similarities are rounded after widening to float64 on both sides.
+
+Every groupby here pre-aggregates inside ``map_batches`` (combiner pattern)
+so the shuffle moves #batches x #groups partial rows, not raw rows.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+
+def _half_away_cents(x: np.ndarray, scale: float = 100.0) -> np.ndarray:
+    """Round to integer scale units, half away from zero (matches SQL ROUND;
+    numpy's np.round is banker's rounding and would disagree on .5 cents)."""
+    scaled = x * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------- TPC-H-ish Q1
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas(),
+            "l_linestatus": batch.column("l_linestatus").to_pandas(),
+            "qty": batch.column("l_quantity").to_numpy().astype(np.int64),
+            "price_c": _half_away_cents(batch.column("l_extendedprice").to_numpy()),
+            "disc_c": _half_away_cents(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy())),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_price_c=("price_c", "sum"),
+            sum_disc_c=("disc_c", "sum"), cnt=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty", "sum_price_c", "sum_disc_c", "cnt"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sum_qty = batch.column("sum(sum_qty)").to_numpy()
+        price_c = batch.column("sum(sum_price_c)").to_numpy()
+        disc_c = batch.column("sum(sum_disc_c)").to_numpy()
+        cnt = batch.column("sum(cnt)").to_numpy()
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pa.array(sum_qty),
+            "sum_base_price": pa.array(np.round(price_c / 100.0, 2)),
+            "sum_disc_price": pa.array(np.round(disc_c / 100.0, 2)),
+            "avg_qty": pa.array(np.round(sum_qty / cnt, 4)),
+            "count_order": pa.array(cnt),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+       ROUND(SUM(CAST(l_quantity AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------------- global col stats
+
+
+def stats_lineitem_quantity(sf_dir: str):
+    from engine.checks.sketches import ColumnStats
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = ColumnStats()
+        col = batch.column("l_quantity")
+        values = col.to_numpy(zero_copy_only=False)
+        nulls = col.null_count
+        s.update(values[~np.isnan(values)] if nulls else values, nulls)
+        return pa.table({"state": pa.array([json.dumps(s.state())], pa.large_string())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    merged = ColumnStats()
+    for r in rows:
+        merged.merge(ColumnStats.from_state(json.loads(r["state"])))
+    m = merged.summary()
+    return pa.table({
+        "cnt": pa.array([m["count"]], pa.int64()),
+        "nulls": pa.array([m["nulls"]], pa.int64()),
+        "min_qty": pa.array([m["min"]]),
+        "max_qty": pa.array([m["max"]]),
+        "avg_qty": pa.array([round(m["mean"], 4)]),
+    })
+
+
+STATS_QTY_SQL = """
+SELECT CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+       ROUND(SUM(CAST(l_quantity AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_qty
+FROM lineitem
+"""
+
+
+# ----------------------------------------------- grouped stats on skewed key
+
+
+def grouped_stats_orderpriority(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_pandas(),
+            "cents": _half_away_cents(batch.column("o_totalprice").to_numpy()),
+        })
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("cents", "size"), sum_c=("cents", "sum"),
+            min_c=("cents", "min"), max_c=("cents", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g.column("n")).as_py())
+        sum_c = int(pc.sum(g.column("sum_c")).as_py())
+        return pa.table({
+            "o_orderpriority": pa.array([g.column("o_orderpriority")[0].as_py()], pa.string()),
+            "n_orders": pa.array([n], pa.int64()),
+            "avg_price": pa.array([round(sum_c / 100.0 / n, 4)]),
+            "min_price": pa.array([int(pc.min(g.column("min_c")).as_py()) / 100.0]),
+            "max_price": pa.array([int(pc.max(g.column("max_c")).as_py()) / 100.0]),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("o_orderpriority").map_groups(merge_group, batch_format="pyarrow")
+    return out.sort("o_orderpriority")
+
+
+GROUPED_ORDERS_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+       CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) / 100.0 AS min_price,
+       CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) / 100.0 AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def dedup_exact_documents(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .groupby("text").min("doc_id") \
+        .map_batches(lambda t: t.select(["min(doc_id)"]).rename_columns(["doc_id"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")
+
+
+DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+
+
+def distinct_users_events(sf_dir: str):
+    n = _read(sf_dir, "events", columns=["user_id"]).groupby("user_id").count().count()
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+DISTINCT_USERS_SQL = "SELECT COUNT(DISTINCT user_id) AS n_users FROM events"
+
+
+# -------------------------------------------------------------- referential
+
+
+def orphan_orders(sf_dir: str):
+    """Orders whose customer key has no match: broadcast Bloom prefilter,
+    exact broadcast-set verify (dimension side is the small side)."""
+    import ray
+
+    from engine.checks.sketches import BloomFilter
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    keys = np.concatenate([np.asarray(b["c_custkey"]) for b in
+                           cust.iter_batches(batch_format="numpy", batch_size=65536)])
+    bloom = BloomFilter(max(len(keys), 1024), 1e-4)
+    bloom.add(keys)
+    exact = set(keys.tolist())  # dimension side is small; exact verify set
+    bloom_ref = ray.put(bloom.state())
+    exact_ref = ray.put(exact)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_state(ray.get(bloom_ref))
+        ck = batch.column("o_custkey").to_numpy()
+        maybe_missing = ~bf.contains(ck)
+        if not maybe_missing.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
+        truth = ray.get(exact_ref)
+        missing = np.array([k not in truth for k in ck[maybe_missing]])
+        rows = batch.column("o_orderkey").to_numpy()[maybe_missing][missing]
+        return pa.table({"o_orderkey": pa.array(rows)})
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).sort("o_orderkey")
+    # Orphans are a violation report (small by assumption): materialize with an
+    # explicit schema so an empty result still carries its column.
+    rows = [r["o_orderkey"] for r in ds.take_all()]
+    return pa.table({"o_orderkey": pa.array(rows, pa.int64())})
+
+
+ORPHAN_ORDERS_SQL = """
+SELECT o_orderkey FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL ORDER BY o_orderkey
+"""
+
+
+def orders_per_segment(sf_dir: str):
+    """Broadcast hash join (small dimension shipped once via ray.put)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    mapping: dict[int, str] = {}
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        mapping.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
+    map_ref = ray.put(mapping)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(map_ref)
+        seg = pd.Series(batch.column("o_custkey").to_numpy()).map(m)
+        df = pd.DataFrame({"c_mktsegment": seg})
+        g = df.groupby("c_mktsegment", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return _read(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("c_mktsegment").sum("n") \
+        .map_batches(lambda t: t.rename_columns(["c_mktsegment", "order_cnt"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("c_mktsegment")
+
+
+ORDERS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, COUNT(*) AS order_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------------ sort/topk
+
+
+def top10_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_totalprice": pa.array(
+                _half_away_cents(batch.column("o_totalprice").to_numpy()) / 100.0),
+        })
+
+    return ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOP10_ORDERS_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ repair/extract
+
+
+def repair_extract_events(sf_dir: str):
+    """Tolerant-parse events.props, extract $.k as BIGINT (repair kernel in the loop)."""
+    from engine.repair.api import loads as tolerant_loads
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for s in batch.column("props").to_pylist():
+            try:
+                v = json.loads(s)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                v = tolerant_loads(s, skip_json_loads=True)
+            ks.append(int(v["k"]) if isinstance(v, dict) and "k" in v else None)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "k": pa.array(ks, pa.int64())})
+
+    return _read(sf_dir, "events", columns=["event_id", "props"]) \
+        .map_batches(extract, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
+
+
+REPAIR_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events ORDER BY event_id
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+
+def token_stats_documents(sf_dir: str):
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        ws = pa.array([len((t or "").split()) for t in batch.column("text").to_pylist()],
+                      pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "ws_tokens": ws})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprint_md5_documents(sf_dir: str):
+    from engine.ops.text import FingerprintStage
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)) \
+        .map_batches(lambda t: t.select(["doc_id", "md5"]), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort("doc_id")
+
+
+FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id"
+
+
+# ----------------------------------------------------------------- events agg
+
+
+def events_daily_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
+            "value_c": _half_away_cents(batch.column("value").to_numpy(), 10000.0),
+        })
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("value_c", "size"), sum_c=("value_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "day": batch.column("day"),
+            "n": batch.column("sum(n)"),
+            "sum_value": pa.array(np.round(batch.column("sum(sum_c)").to_numpy() / 10000.0, 4)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["event_type", "day"]).sum(["n", "sum_c"]) \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["event_type", "day"])
+
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
+FROM events GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+# ------------------------------------------------------------------ similarity
+
+
+def _query_vector(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    tab = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+    arr = tab.column("embedding").combine_chunks()
+    vec_ids = tab.column("vec_id").to_numpy()
+    first = int(np.argmin(vec_ids))
+    return np.asarray(arr[first].as_py(), dtype=np.float32)
+
+
+def knn_cosine_top10(sf_dir: str):
+    from engine.ops.similarity import knn_brute_force
+
+    q = _query_vector(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = knn_brute_force(ds, q, k=10)
+
+    def round_sim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "sim": pa.array(np.round(batch.column("sim").to_numpy(), 5)),
+        })
+
+    return top.map_batches(round_sim, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KNN_SQL = """
+SELECT vec_id,
+       ROUND(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+             ) AS DOUBLE), 5) AS sim
+FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
+"""

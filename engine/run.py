@@ -37,6 +37,7 @@ from engine.checks.sketches import Histogram, ks_statistic, psi
 from engine.data.clips import clips_dataset
 from engine.stages import (
     AudioCheckStage,
+    ClipCheckStage,
     TranscriptRepairStage,
     grouped_stats_partials,
     merge_grouped_states,
@@ -63,8 +64,22 @@ def _default_concurrency() -> tuple[int, int]:
 
 
 def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=None,
-                           batch_size: int = 256):
-    """Attach the two check stages to a clips Dataset (lazy)."""
+                           batch_size: int = 256, fused: bool = True):
+    """Attach the check stages to a clips Dataset (lazy).
+
+    Fused (default): one actor pool runs transcript repair + audio checks, so
+    audio payloads never cross the object store between stages.  Unfused keeps
+    two pools (useful when the stages need different resources).
+    """
+    if fused:
+        concurrency = repair_concurrency or _fused_concurrency()
+        return ds.map_batches(
+            ClipCheckStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
     if repair_concurrency is None:
         repair_concurrency = _default_concurrency()
     if audio_concurrency is None:
@@ -84,6 +99,13 @@ def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=Non
         zero_copy_batch=True,
     )
     return ds
+
+
+def _fused_concurrency() -> tuple[int, int]:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus - 2))  # leave headroom for generator/read tasks
 
 
 def _merge_columnstats_summaries(merged: dict) -> dict:

@@ -48,10 +48,15 @@ class TranscriptRepairStage:
         lang: string           confidence: float64   text_len: int32
     """
 
-    def __init__(self, schema: dict | None = None, mode: str = "standard") -> None:
+    def __init__(self, schema: dict | None = None, mode: str = "standard",
+                 double_check: bool = False) -> None:
         self.schema = schema if schema is not None else TRANSCRIPT_SCHEMA
         # Compiled once per actor; fix() reuses cached jsonschema validators.
         self.fixer = SchemaFixer(self.schema, None, mode=mode)
+        # fix() already coerces/raises for every keyword this schema uses; a
+        # full jsonschema pass on top costs ~2x the whole stage (profiled), so
+        # it is opt-in defense-in-depth.
+        self.double_check = double_check
 
     def repair_one(self, raw: str) -> tuple[bool, str | None, int, str | None]:
         # Fast path: strict parse, then schema repair of the parsed object.
@@ -67,7 +72,8 @@ class TranscriptRepairStage:
             n_repairs = len(log)
         try:
             fixed = self.fixer.fix(value, self.schema, "$")
-            self.fixer.validate(fixed, self.schema)
+            if self.double_check:
+                self.fixer.validate(fixed, self.schema)
         except ValueError as exc:
             return False, None, n_repairs, f"schema: {exc}"
         return True, json.dumps(fixed, sort_keys=True), n_repairs, None
@@ -156,6 +162,23 @@ class AudioCheckStage:
             .append_column("audio_error", pa.array(errs, pa.string())) \
             .append_column("meta_ok", pa.array(meta_ok)) \
             .append_column("meta_error", pa.array(meta_err, pa.string()))
+
+
+class ClipCheckStage:
+    """Fused transcript + audio check (one actor pool).
+
+    Fusing keeps the large ``bytes`` column inside one worker: with separate
+    pools every audio payload crosses the object store between stages; fused,
+    it is read exactly once where it was generated/loaded.
+    """
+
+    def __init__(self, schema: dict | None = None, mode: str = "standard",
+                 min_snr_db: float = MIN_SNR_DB) -> None:
+        self.transcript = TranscriptRepairStage(schema, mode)
+        self.audio = AudioCheckStage(min_snr_db)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.audio(self.transcript(batch))
 
 
 # ----------------------------------------------------------- sketch partials

@@ -1,0 +1,137 @@
+"""Training-data ops: dedup families, similarity search, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = [" ".join(rng.choice(words, 30)) for _ in range(80)]
+    # plant near-dups: 90-95% overlapping copies
+    texts.append(texts[0].replace("alpha", "beta", 1))
+    texts.append(texts[1] + " extra")
+    texts.append(texts[2])  # exact dup
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[50] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01   # near-dup pair
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vecs.reshape(-1)), 16),
+    }))
+
+
+def test_exact_dedup(docs_ds):
+    distinct = docs_ds.groupby("text").min("doc_id")
+    assert distinct.count() == docs_ds.count() - 1      # one exact dup planted
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_ds):
+    from engine.ops.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(docs_ds, min_est_jaccard=0.5, concurrency=(1, 2)).take_all()}
+    assert (0, 80) in pairs
+    assert (1, 81) in pairs
+    assert (2, 82) in pairs
+
+
+def test_simhash_finds_exact_dup(docs_ds):
+    from engine.ops.dedup import simhash_pairs
+
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_pairs(docs_ds, max_hamming=3, concurrency=(1, 2)).take_all()}
+    assert (2, 82) in pairs
+
+
+def test_jaccard_verify(docs_ds, ray_session):
+    import ray.data
+
+    from engine.ops.dedup import jaccard_verify
+
+    cand = ray.data.from_arrow(pa.table({"a": [2, 0], "b": [82, 40]}))
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           jaccard_verify(cand, docs_ds, min_jaccard=0.0).take_all()}
+    assert got[(2, 82)] == 1.0
+    assert got[(0, 40)] < 0.5
+
+
+def test_knn_brute_force_exact(emb_ds):
+    from engine.ops.similarity import knn_brute_force
+
+    q = emb_ds.take(1)[0]["embedding"]
+    top = knn_brute_force(emb_ds, q, k=3).take_all()
+    assert top[0]["vec_id"] == 0 and top[0]["sim"] > 0.999
+    assert top[1]["vec_id"] == 50 and top[1]["sim"] > 0.99
+
+
+def test_knn_lsh_finds_strong_neighbor(emb_ds):
+    from engine.ops.similarity import knn_lsh
+
+    q = emb_ds.take(1)[0]["embedding"]
+    ids = [r["vec_id"] for r in knn_lsh(emb_ds, q, k=3, max_hamming=3).take_all()]
+    assert 0 in ids and 50 in ids
+
+
+def test_embedding_near_dup(emb_ds):
+    from engine.ops.similarity import near_dup_cosine_pairs
+
+    pairs = {(r["a"], r["b"]) for r in
+             near_dup_cosine_pairs(emb_ds, threshold=0.99).take_all()}
+    assert (0, 50) in pairs
+
+
+def test_text_stages(docs_ds):
+    from engine.ops.text import FingerprintStage, LangIdStage, TokenStatsStage
+
+    out = docs_ds.map_batches(TokenStatsStage, batch_format="pyarrow", concurrency=2) \
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=2) \
+        .map_batches(FingerprintStage, batch_format="pyarrow", concurrency=2)
+    rows = out.take(3)
+    assert rows[0]["ws_tokens"] == 30
+    assert rows[0]["lang_pred"] in {"en", "und", "es", "de", "fr", "zh"}
+    assert len(rows[0]["md5"]) == 32
+    # identical text → identical fingerprints
+    by_id = {r["doc_id"]: r for r in out.take_all()}
+    assert by_id[2]["md5"] == by_id[82]["md5"]
+    assert by_id[2]["roll_fp"] == by_id[82]["roll_fp"]
+
+
+def test_langid_scripts(ray_session):
+    from engine.ops.text import LangIdStage
+
+    stage = LangIdStage()
+    assert stage.classify("the cat sat on the mat and it is a dog")[0] == "en"
+    assert stage.classify("el perro y la casa de que en un")[0] == "es"
+    assert stage.classify("这是一个中文句子")[0] == "zh"
+
+
+def test_multimodal_stubs(ray_session):
+    import ray.data
+
+    from engine.ops.multimodal import FrameSampleStage, ImageDecodeStage
+
+    ds = ray.data.from_arrow(pa.table({
+        "image": pa.array([b"fakejpg" * 10, b"x"], pa.large_binary()),
+        "video": pa.array([b"fakemp4" * 99, b"y"], pa.large_binary()),
+    }))
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=1) \
+        .map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=1)
+    rows = out.take_all()
+    assert rows[0]["width"] > 0 and len(rows[0]["frame_offsets"]) == 4
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(fake=False)(pa.table({"image": pa.array([b"z"], pa.large_binary())}))

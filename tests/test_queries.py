@@ -1,0 +1,68 @@
+"""Driver-contract queries vs DuckDB oracles at sf0.001 (fast subset)."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_ORACLED = [
+    "q1_pricing_summary",
+    "stats_lineitem_quantity",
+    "grouped_stats_orderpriority",
+    "dedup_exact_documents",
+    "distinct_users_events",
+    "orphan_orders",
+    "orders_per_segment",
+    "top10_orders",
+    "repair_extract_events",
+    "token_stats_documents",
+    "events_daily_by_type",
+    "knn_cosine_top10",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST_ORACLED)
+def test_query_matches_oracle(name, ray_session, oracle_con):
+    import __ray_entry__ as entrymod
+    from tools.check_oracles import canonical_hash, to_pandas
+
+    mine = to_pandas(entrymod.queries()[name](SF_DIR))
+    want = oracle_con.sql(entrymod.oracle_sql()[name]).df()
+    assert len(mine) == len(want)
+    assert sorted(mine.columns) == sorted(want.columns)
+    assert canonical_hash(mine) == canonical_hash(want)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    ds = entrymod.entry()
+    n = ds.count()
+    assert n == 1000
+    assert "parse_ok" in ds.schema().names
+
+
+def test_hll_close_to_exact(ray_session, oracle_con):
+    import __ray_entry__ as entrymod
+
+    approx = entrymod.queries()["hll_distinct_users"](SF_DIR).to_pandas()["n_users_approx"][0]
+    exact = oracle_con.sql("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_tdigest_close_to_exact(ray_session, oracle_con):
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["tdigest_quantity"](SF_DIR).to_pandas()
+    true_p50 = oracle_con.sql("SELECT quantile_cont(l_quantity, 0.5) FROM lineitem").fetchone()[0]
+    assert abs(got["p50"][0] - true_p50) <= 1.0

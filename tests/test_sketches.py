@@ -1,0 +1,75 @@
+"""Mergeability + accuracy of the sketch library (pure numpy, no Ray)."""
+
+import numpy as np
+
+from engine.checks.sketches import (
+    BloomFilter,
+    ColumnStats,
+    Histogram,
+    HyperLogLog,
+    TDigest,
+    ks_statistic,
+    psi,
+)
+
+
+def test_column_stats_merge_equals_whole():
+    rng = np.random.default_rng(1)
+    data = rng.normal(10, 3, 50_000)
+    whole = ColumnStats()
+    whole.update(data)
+    merged = ColumnStats()
+    for chunk in np.array_split(data, 17):
+        part = ColumnStats()
+        part.update(chunk)
+        merged.merge(ColumnStats.from_state(part.state()))
+    a, b = whole.summary(), merged.summary()
+    assert abs(a["mean"] - b["mean"]) < 1e-9
+    assert abs(a["std"] - b["std"]) < 1e-9
+    assert a["min"] == b["min"] and a["max"] == b["max"] and a["count"] == b["count"]
+
+
+def test_tdigest_quantiles_within_tolerance():
+    rng = np.random.default_rng(2)
+    data = rng.exponential(5.0, 80_000)
+    td = TDigest()
+    for chunk in np.array_split(data, 11):
+        part = TDigest()
+        part.update(chunk)
+        td.merge(TDigest.from_state(part.state()))
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert abs(td.quantile(q) - np.quantile(data, q)) < 0.35
+
+
+def test_hll_error_bound():
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 2_000_000, 300_000)
+    true = len(np.unique(ids))
+    h = HyperLogLog()
+    for chunk in np.array_split(ids, 9):
+        part = HyperLogLog()
+        part.update(chunk)
+        h.merge(HyperLogLog.from_state(part.state()))
+    assert abs(h.estimate() - true) / true < 0.03
+
+
+def test_bloom_membership_and_fp():
+    members = np.arange(50_000)
+    bf = BloomFilter(50_000, 1e-3)
+    bf.add(members)
+    bf = BloomFilter.from_state(bf.state())
+    assert bf.contains(members).all()
+    assert bf.contains(np.arange(50_000, 120_000)).mean() < 5e-3
+
+
+def test_drift_metrics_separate_shifted_distributions():
+    rng = np.random.default_rng(4)
+    edges = np.linspace(-5, 25, 31)
+    base = Histogram(edges)
+    base.update(rng.normal(10, 3, 50_000))
+    same = Histogram(edges)
+    same.update(rng.normal(10, 3, 50_000))
+    moved = Histogram(edges)
+    moved.update(rng.normal(12, 3, 50_000))
+    assert psi(base, same) < 0.01 < psi(base, moved)
+    assert ks_statistic(base, same) < 0.02 < ks_statistic(base, moved)
