@@ -23,10 +23,11 @@ def entry() -> Any:
     """Flagship: synthesize the sf0.001-scale clips table, run both check
     stages, return the verdict rows (Dataset)."""
     from engine.data.clips import clips_dataset
-    from engine.run import VERDICT_COLS, validate_clips_dataset
+    from engine.run import VERDICT_COLS, attach_fk_check, validate_clips_dataset
 
     ds = clips_dataset(1_000, seed=42)
-    return validate_clips_dataset(ds, batch_size=256).select_columns(VERDICT_COLS)
+    checked = attach_fk_check(validate_clips_dataset(ds, batch_size=256))
+    return checked.select_columns(VERDICT_COLS)
 
 
 # --------------------------------------------------------------------------
@@ -35,11 +36,12 @@ def entry() -> Any:
 
 def _validate_clips(sf_dir: str):
     from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
-    from engine.run import VERDICT_COLS, validate_clips_dataset
+    from engine.run import VERDICT_COLS, attach_fk_check, validate_clips_dataset
 
     n = min(clips_count_for_sf_dir(sf_dir), 10_000)
     ds = cached_clips_dataset(n, seed=42)
-    return validate_clips_dataset(ds, batch_size=256).select_columns(VERDICT_COLS)
+    checked = attach_fk_check(validate_clips_dataset(ds, batch_size=256))
+    return checked.select_columns(VERDICT_COLS)
 
 
 def _clips_violations(sf_dir: str):
@@ -47,8 +49,10 @@ def _clips_violations(sf_dir: str):
     from engine.run import validate_clips_dataset
     from engine.stages import violations_batch
 
+    from engine.run import attach_fk_check
+
     n = min(clips_count_for_sf_dir(sf_dir), 10_000)
-    ds = validate_clips_dataset(cached_clips_dataset(n, seed=42), batch_size=256)
+    ds = attach_fk_check(validate_clips_dataset(cached_clips_dataset(n, seed=42), batch_size=256))
     return ds.map_batches(violations_batch, batch_format="pyarrow",
                           zero_copy_batch=True).sort(["clip_id", "check"])
 

@@ -55,6 +55,10 @@ RATES = {
     "dur_lie": 0.006,
 }
 
+# Referential-integrity fixture: clips carry a speaker_id FK into the
+# ``speakers`` dimension table; a small fraction are orphans.
+FK_ORPHAN_RATE = 0.003
+
 TRANSCRIPT_SCHEMA = {
     "type": "object",
     "properties": {
@@ -128,10 +132,40 @@ def _make_transcript(rng: np.random.Generator, dur_ms: int, defect: str) -> str:
     return raw
 
 
-def make_clips_batch(batch: dict, *, seed: int = 42) -> pa.Table:
+def n_speakers_for(n_clips_hint: int = 100_000) -> int:
+    return max(20, n_clips_hint // 50)
+
+
+def speakers_table(n_clips_hint: int = 100_000, *, seed: int = 42) -> pa.Table:
+    """Dimension table for referential checks: every non-orphan clip's
+    speaker_id appears here."""
+    n = n_speakers_for(n_clips_hint)
+    rng = np.random.default_rng(seed ^ 0x5EA4E5)
+    names = [f"{WORDS[rng.integers(0, len(WORDS))]}-{WORDS[rng.integers(0, len(WORDS))]}"
+             for _ in range(n)]
+    return pa.table({
+        "speaker_id": pa.array([f"spk-{i:06d}" for i in range(n)], pa.string()),
+        "name": pa.array(names, pa.string()),
+    })
+
+
+def _speaker_for(i: int, seed: int, n_clips_hint: int) -> str:
+    # Separate rng stream so adding the FK column never perturbs the
+    # audio/transcript draws (baseline sketches stay valid).
+    rng = np.random.default_rng((seed << 21) ^ (int(i) * 2 + 1))
+    if rng.random() < FK_ORPHAN_RATE:
+        return f"spk-orphan-{int(i):06d}"         # planted orphan FK
+    return f"spk-{int(rng.integers(0, n_speakers_for(n_clips_hint))):06d}"
+
+
+def make_clips_batch(batch: dict, *, seed: int = 42, drift: bool = False,
+                     n_clips_hint: int = 100_000) -> pa.Table:
     """Vector-of-rows generator: {'id': ndarray} → clips rows (pyarrow Table).
 
     Use with ``ray.data.range(n).map_batches(make_clips_batch, batch_format="numpy")``.
+    ``drift=True`` produces a duration-shifted epoch (applied after all rng
+    draws, so every other column matches the undrifted corpus) — the fixture
+    for PSI/KS drift detection.
     """
     ids = np.asarray(batch["id"], dtype=np.int64)
     clip_ids: list[str] = []
@@ -140,6 +174,7 @@ def make_clips_batch(batch: dict, *, seed: int = 42) -> pa.Table:
     durs = np.empty(ids.size, dtype=np.int32)
     codecs: list[str] = []
     transcripts: list[str] = []
+    speaker_ids: list[str] = []
 
     for row, i in enumerate(ids):
         rng = np.random.default_rng((seed << 20) ^ int(i))
@@ -154,6 +189,8 @@ def make_clips_batch(batch: dict, *, seed: int = 42) -> pa.Table:
         if defect == "sr_out":
             sr = int(rng.choice([300, 192000]))
         dur_ms = int(rng.integers(200, 1200))
+        if drift:
+            dur_ms = int(dur_ms * 1.4) + 150      # shifted epoch (post-draw)
         n_samples = int(round(sr * dur_ms / 1000.0))
         codec = str(CODECS[rng.choice(len(CODECS), p=CODEC_P)])
 
@@ -172,6 +209,7 @@ def make_clips_batch(batch: dict, *, seed: int = 42) -> pa.Table:
         durs[row] = dur_ms
         codecs.append(codec)
         transcripts.append(_make_transcript(rng, dur_ms, defect))
+        speaker_ids.append(_speaker_for(int(i), seed, n_clips_hint))
 
     return pa.table(
         {
@@ -181,17 +219,21 @@ def make_clips_batch(batch: dict, *, seed: int = 42) -> pa.Table:
             "dur_ms": pa.array(durs, pa.int32()),
             "codec": pa.array(codecs, pa.string()),
             "transcript": pa.array(transcripts, pa.string()),
+            "speaker_id": pa.array(speaker_ids, pa.string()),
         }
     )
 
 
-def clips_dataset(n_clips: int, *, seed: int = 42, parallelism: int = -1):
+def clips_dataset(n_clips: int, *, seed: int = 42, parallelism: int = -1,
+                  drift: bool = False):
     """Distributed deterministic clips table as a ray.data.Dataset."""
     import ray.data
 
     ds = ray.data.range(n_clips, override_num_blocks=parallelism if parallelism > 0 else None)
+    # One global speaker universe (default n_clips_hint) regardless of scale,
+    # so the speakers dimension table is the same for every corpus size.
     return ds.map_batches(
-        lambda b: make_clips_batch(b, seed=seed),
+        lambda b: make_clips_batch(b, seed=seed, drift=drift),
         batch_format="numpy",
         batch_size=512,
     )
@@ -211,6 +253,19 @@ def cached_clips_dataset(n_clips: int, *, seed: int = 42,
     import ray.data
 
     path = f"{cache_root}/n{n_clips}_seed{seed}"
+    if os.path.isdir(path):
+        # Validate the cache (guards against a partially-deleted build).
+        import pyarrow.parquet as _pq
+
+        try:
+            total = sum(_pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                        for f in os.listdir(path) if f.endswith(".parquet"))
+        except Exception:
+            total = -1
+        if total != n_clips:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{os.getpid()}"
         clips_dataset(n_clips, seed=seed).write_parquet(tmp)

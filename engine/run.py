@@ -49,8 +49,9 @@ from engine.stages import (
 BASELINE_SKETCH_PATH = Path(__file__).parent / "data" / "baseline_sketch.json"
 
 VERDICT_COLS = [
-    "clip_id", "sr_hz", "dur_ms", "codec", "parse_ok", "repair_count",
-    "lang", "confidence", "text_len", "audio_ok", "snr_db", "meta_ok",
+    "clip_id", "sr_hz", "dur_ms", "codec", "speaker_id", "parse_ok",
+    "repair_count", "lang", "confidence", "text_len", "audio_ok", "snr_db",
+    "meta_ok", "fk_ok",
 ]
 
 
@@ -106,6 +107,22 @@ def _fused_concurrency() -> tuple[int, int]:
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
     return (1, max(2, cpus - 2))  # leave headroom for generator/read tasks
+
+
+def attach_fk_check(ds, seed: int = 42):
+    """Append the broadcast-Bloom referential check (fk_ok column)."""
+    import ray
+
+    from engine.data.clips import speakers_table
+    from engine.stages import build_fk_probe, fk_check_batch
+
+    bloom_state, exact = build_fk_probe(
+        speakers_table(seed=seed).column("speaker_id").to_pylist())
+    bloom_ref, exact_ref = ray.put(bloom_state), ray.put(exact)
+    return ds.map_batches(
+        lambda t: fk_check_batch(t, bloom_ref, exact_ref),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def _merge_columnstats_summaries(merged: dict) -> dict:
@@ -191,6 +208,9 @@ def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
     )
     checked = validate_clips_dataset(ds, repair_concurrency=concurrency,
                                      audio_concurrency=concurrency, batch_size=batch_size)
+    # Referential check: broadcast Bloom + exact set built from the speakers
+    # dimension table once per partition run.
+    checked = attach_fk_check(checked, seed)
     # Audio payloads must not flow past this point: project them away before
     # any wide/fan-out consumer.
     slim = checked.select_columns(VERDICT_COLS + ["transcript_error", "meta_error", "audio_error"])
@@ -237,6 +257,7 @@ def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
         "parse_ok": totals["parse_ok"],
         "audio_ok": totals["audio_ok"],
         "meta_ok": totals["meta_ok"],
+        "fk_ok": totals.get("fk_ok", 0),
         "repairs": totals["repairs"],
         "violations": int(n_violations),
         "duplicate_ids": [{"clip_id": r["clip_id"], "count": r["count()"]} for r in dup_rows],
@@ -274,6 +295,7 @@ def _finalize(parts: list[dict], out: Path) -> dict:
         "parse_ok": sum(p["parse_ok"] for p in parts),
         "audio_ok": sum(p["audio_ok"] for p in parts),
         "meta_ok": sum(p["meta_ok"] for p in parts),
+        "fk_ok": sum(p.get("fk_ok", 0) for p in parts),
         "repairs": sum(p["repairs"] for p in parts),
         "violations": sum(p["violations"] for p in parts),
         "duplicate_id_groups": dup_total,

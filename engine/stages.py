@@ -224,6 +224,8 @@ def sketch_partials_batch(batch: pa.Table) -> pa.Table:
         "parse_ok": int(pc.sum(batch.column("parse_ok")).as_py() or 0),
         "audio_ok": int(pc.sum(batch.column("audio_ok")).as_py() or 0),
         "meta_ok": int(pc.sum(batch.column("meta_ok")).as_py() or 0),
+        "fk_ok": int(pc.sum(batch.column("fk_ok")).as_py() or 0)
+        if "fk_ok" in batch.schema.names else 0,
         "repairs": int(pc.sum(batch.column("repair_count")).as_py() or 0),
         "stats": {
             "dur_ms": stats_state(durs),
@@ -240,14 +242,14 @@ def sketch_partials_batch(batch: pa.Table) -> pa.Table:
 
 def merge_sketch_partials(states: list[dict]) -> dict:
     """Associative driver-side merge of per-batch partial states."""
-    totals = {"rows": 0, "parse_ok": 0, "audio_ok": 0, "meta_ok": 0, "repairs": 0}
+    totals = {"rows": 0, "parse_ok": 0, "audio_ok": 0, "meta_ok": 0, "fk_ok": 0, "repairs": 0}
     stats: dict[str, ColumnStats] = {}
     digests: dict[str, TDigest] = {}
     hll = HyperLogLog()
     hists: dict[str, Histogram] = {}
     for s in states:
         for k in totals:
-            totals[k] += s[k]
+            totals[k] += s.get(k, 0)
         for col, st in s["stats"].items():
             cs = ColumnStats.from_state(st)
             stats[col] = stats[col].merge(cs) if col in stats else cs
@@ -297,6 +299,85 @@ def merge_grouped_states(group: pa.Table, key: str = "codec") -> pa.Table:
     })
 
 
+class RepairJsonStage:
+    """Schema-free tolerant repair of any JSON-text column (the table-level
+    form of the reference's ``repair_json``, json_repair.py:100-226).
+
+    Adds: <col>_repaired (canonical serialized JSON or null), <col>_ok,
+    <col>_repairs (heuristics fired).  Actor-pool callable; kwargs mirror the
+    reference flags (strict / stream_stable / skip_json_loads).
+    """
+
+    def __init__(self, col: str = "raw", *, strict: bool = False,
+                 stream_stable: bool = False, skip_json_loads: bool = False) -> None:
+        self.col = col
+        self.strict = strict
+        self.stream_stable = stream_stable
+        self.skip_json_loads = skip_json_loads
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch.column(self.col).to_pylist()
+        ok = np.zeros(len(raws), dtype=bool)
+        out: list[str | None] = []
+        counts = np.zeros(len(raws), dtype=np.int32)
+        for i, raw in enumerate(raws):
+            try:
+                value, log = repair_json(
+                    raw or "", return_objects=True, logging=True,
+                    skip_json_loads=self.skip_json_loads,
+                    stream_stable=self.stream_stable, strict=self.strict,
+                )
+            except ValueError:
+                out.append(None)
+                continue
+            ok[i] = True
+            counts[i] = len(log)
+            out.append("" if value == "" else json.dumps(value))
+        return batch.append_column(f"{self.col}_repaired", pa.array(out, pa.string())) \
+            .append_column(f"{self.col}_ok", pa.array(ok)) \
+            .append_column(f"{self.col}_repairs", pa.array(counts))
+
+
+# ---------------------------------------------------------------- referential
+
+
+def build_fk_probe(dim_keys) -> tuple:
+    """Driver-side: build (bloom_state, exact_set) for a dimension key column.
+
+    The Bloom filter is the cheap broadcast prefilter; the exact set is the
+    verifier for Bloom positives (the dimension side is the small side by
+    assumption — for a large dimension, replace the exact set with a
+    hash-shuffle semi-join on the Bloom survivors).
+    """
+    from engine.checks.sketches import BloomFilter
+
+    keys = np.asarray(dim_keys, dtype=object)
+    bloom = BloomFilter(max(keys.size, 1024), 1e-4)
+    bloom.add(keys)
+    return bloom.state(), set(keys.tolist())
+
+
+def fk_check_batch(batch: pa.Table, bloom_state_ref, exact_ref,
+                   fk_col: str = "speaker_id") -> pa.Table:
+    """Broadcast Bloom probe + exact verify; appends fk_ok column."""
+    import ray
+
+    from engine.checks.sketches import BloomFilter
+
+    bloom = BloomFilter.from_state(ray.get(bloom_state_ref))
+    keys = np.asarray(batch.column(fk_col).to_pylist(), dtype=object)
+    ok = bloom.contains(keys)
+    if not ok.all():
+        # Bloom negatives (suspected orphans) are rare; double-check them
+        # against the exact set so no row is falsely accused.  Bloom positives
+        # are accepted with the filter's fp rate (<=1e-4 chance an orphan
+        # slips through) — the exact audit path is a hash-shuffle semi-join.
+        truth = ray.get(exact_ref)
+        for j in np.nonzero(~ok)[0]:
+            ok[j] = keys[j] in truth
+    return batch.append_column("fk_ok", pa.array(ok))
+
+
 # ---------------------------------------------------------------- violations
 
 
@@ -317,6 +398,13 @@ def violations_batch(batch: pa.Table) -> pa.Table:
 
     emit("parse_ok", "transcript_error", "transcript")
     emit("meta_ok", "meta_error", "metadata")
+    if "fk_ok" in batch.schema.names:
+        fk = batch.column("fk_ok").to_numpy(zero_copy_only=False)
+        fks = batch.column("speaker_id").to_pylist()
+        for i in np.nonzero(~fk)[0]:
+            rows_id.append(clip_ids[i])
+            rows_check.append("referential")
+            rows_msg.append(f"orphan speaker_id: {fks[i]}")
     # audio failures only count where metadata was sane (decode was attempted)
     meta = batch.column("meta_ok").to_numpy(zero_copy_only=False)
     audio = batch.column("audio_ok").to_numpy(zero_copy_only=False)

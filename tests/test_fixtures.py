@@ -1,0 +1,112 @@
+"""FIXTURES.md contracts: golden doc pair, corpus-as-table kernel, referential,
+drift-on-shifted-epoch."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.data.golden import golden_pair
+from engine.repair import from_file, loads
+
+
+def test_golden_pair_repairs_to_valid():
+    valid, invalid = golden_pair()
+    assert 8_000 < len(valid) < 12_000
+    want = json.loads(valid)
+    assert len(want) == 6
+    assert loads(invalid) == want
+    assert loads(invalid, skip_json_loads=True) == want
+
+
+def test_golden_pair_chunked_file(tmp_path):
+    valid, invalid = golden_pair()
+    p = tmp_path / "invalid.json"
+    p.write_text(invalid)
+    assert from_file(p, chunk_length=2) == json.loads(valid)
+
+
+def test_corpus_as_table_through_map_batches(ray_session):
+    """Run the ported conformance corpus through the engine as a TABLE —
+    the columnar fixture form from FIXTURES.md §2."""
+    import ray.data
+
+    from engine.stages import RepairJsonStage
+    from tests.test_repair_kernel import SERIALIZE_CASES
+
+    table = pa.table({
+        "case_id": pa.array([f"case:{i}" for i in range(len(SERIALIZE_CASES))], pa.string()),
+        "raw": pa.array([c[0] for c in SERIALIZE_CASES], pa.string()),
+        "expected": pa.array([c[1] for c in SERIALIZE_CASES], pa.string()),
+    })
+    out = ray.data.from_arrow(table).map_batches(
+        RepairJsonStage, fn_constructor_kwargs={"col": "raw"},
+        batch_format="pyarrow", concurrency=2, batch_size=64,
+    ).take_all()
+    bad = [r for r in out if r["raw_repaired"] != r["expected"]]
+    assert not bad, bad[:3]
+
+
+def test_referential_check(ray_session):
+    from engine.data.clips import make_clips_batch, speakers_table
+    from engine.stages import build_fk_probe, fk_check_batch
+
+    import ray
+
+    t = make_clips_batch({"id": np.arange(3000)})
+    bloom_state, exact = build_fk_probe(speakers_table().column("speaker_id").to_pylist())
+    out = fk_check_batch(t, ray.put(bloom_state), ray.put(exact))
+    fk = out.column("fk_ok").to_numpy(zero_copy_only=False)
+    orphans = [s for s, ok in zip(out.column("speaker_id").to_pylist(), fk) if not ok]
+    assert 0 < len(orphans) < 30                        # ~0.3% planted
+    assert all(s.startswith("spk-orphan-") for s in orphans)
+    assert fk.sum() + len(orphans) == 3000
+
+
+def test_drift_fires_on_shifted_epoch(ray_session):
+    import ray.data
+
+    from engine.data.clips import make_clips_batch
+    from engine.run import drift_report, validate_clips_dataset
+    from engine.stages import merge_sketch_partials, sketch_partials_batch
+
+    ds = ray.data.range(1500).map_batches(
+        lambda b: make_clips_batch(b, drift=True), batch_format="numpy", batch_size=512)
+    checked = validate_clips_dataset(ds, batch_size=256)
+    rows = checked.map_batches(sketch_partials_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    merged = merge_sketch_partials([json.loads(r["partial"]) for r in rows])
+    rep = drift_report(merged["hists"])
+    assert rep["available"]
+    assert rep["dur_ms"]["drifted"], rep
+    assert not rep["snr_db"]["drifted"]
+    assert not rep["confidence"]["drifted"]
+
+
+def test_io_seam_parquet_fallback(ray_session, tmp_path):
+    import ray.data
+
+    from engine.io import have_lance, read_table, write_table
+
+    assert not have_lance()        # this sandbox: parquet fallback expected
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+    write_table(ds, str(tmp_path / "t"))
+    back = read_table(str(tmp_path / "t"), columns=["x"])
+    assert sorted(r["x"] for r in back.take_all()) == [1, 2, 3]
+
+
+def test_strict_stage_flags(ray_session):
+    import ray.data
+
+    from engine.stages import RepairJsonStage
+
+    t = pa.table({"raw": pa.array(['[{"key": "a", "key": "b"}]', '{"ok": 1}'], pa.string())})
+    out = ray.data.from_arrow(t).map_batches(
+        RepairJsonStage,
+        fn_constructor_kwargs={"col": "raw", "strict": True, "skip_json_loads": True},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    by_raw = {r["raw"]: r for r in out}
+    assert not by_raw['[{"key": "a", "key": "b"}]']["raw_ok"]     # strict rejects dup key
+    assert by_raw['{"ok": 1}']["raw_ok"]
