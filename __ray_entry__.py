@@ -197,8 +197,21 @@ def _audio_features(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True).sort("clip_id")
 
 
+
+def _codec_duration_quantiles(sf_dir: str):
+    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
+    from engine.stages import salted_group_digests
+
+    n = min(clips_count_for_sf_dir(sf_dir), 10_000)
+    ds = cached_clips_dataset(n, seed=42).select_columns(["clip_id", "codec", "dur_ms"])
+    return salted_group_digests(ds, key="codec", value_col="dur_ms").sort("codec")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine import queries as q
+
+    def q_sample(sf_dir):
+        return q.sample_documents(sf_dir)
 
     return {
         # SQL-oracled
@@ -215,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
         "events_daily_by_type": q.events_daily_by_type,
         "knn_cosine_top10": q.knn_cosine_top10,
+        "sessionize_events": q.sessionize_events,
+        "revenue_by_segment_day": q.revenue_by_segment_day,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -228,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct_users,
         "tdigest_quantity": _tdigest_quantity,
         "audio_features": _audio_features,
+        "sample_documents": q_sample,
+        "codec_duration_quantiles": _codec_duration_quantiles,
     }
 
 
@@ -248,4 +265,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "knn_cosine_top10": q.KNN_SQL,
+        "sessionize_events": q.SESSIONIZE_SQL,
+        "revenue_by_segment_day": q.REVENUE_SQL,
     }

@@ -1,0 +1,76 @@
+"""Job entry points: ``python -m engine <command>``.
+
+On a real cluster these are the ``ray job submit`` targets, e.g.:
+
+    ray job submit --working-dir . -- python -m engine validate \\
+        --clips 1000000 --out /data/validation/run1 --partitions 64
+
+Standalone invocations own their Ray session (guarded init + shutdown); the
+graft driver's entry points in ``__ray_entry__.py`` never init Ray themselves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "ignore_reinit_error": True}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="engine", description="Validation engine jobs")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    val = sub.add_parser("validate", help="run the resumable clips validation job")
+    val.add_argument("--clips", type=int, default=10_000, help="corpus size (seeded synthesis)")
+    val.add_argument("--out", required=True, help="output directory (verdicts/violations/manifest)")
+    val.add_argument("--partitions", type=int, default=4)
+    val.add_argument("--seed", type=int, default=42)
+    val.add_argument("--batch-size", type=int, default=256)
+    val.add_argument("--no-resume", action="store_true", help="recompute even if manifests exist")
+    val.add_argument("--num-cpus", type=int, default=None)
+
+    base = sub.add_parser("baseline", help="regenerate the frozen drift baseline sketch")
+    base.add_argument("--clips", type=int, default=20_000)
+    base.add_argument("--num-cpus", type=int, default=None)
+
+    args = ap.parse_args(argv)
+    ray = _ensure_ray(args.num_cpus)
+    try:
+        if args.command == "validate":
+            from engine.run import run_validation
+
+            metrics = run_validation(
+                args.clips, args.out, seed=args.seed, n_partitions=args.partitions,
+                batch_size=args.batch_size, resume=not args.no_resume,
+            )
+            print(json.dumps(metrics, default=str))
+            return 0 if metrics["rows"] == args.clips else 1
+        if args.command == "baseline":
+            from engine.baseline import build_baseline
+            from engine.run import BASELINE_SKETCH_PATH
+
+            state = build_baseline(args.clips)
+            BASELINE_SKETCH_PATH.write_text(json.dumps(state))
+            print(f"wrote {BASELINE_SKETCH_PATH} ({args.clips} clips)")
+            return 0
+        return 2
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -440,3 +440,145 @@ SELECT vec_id,
              ) AS DOUBLE), 5) AS sim
 FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
 """
+
+
+# ---------------------------------------------------------------- sessionize
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session count (sessions split at >gap inactivity).
+
+    Windowed/stateful semantics expressed Ray-Data-first: hash-shuffle by
+    user (groupby), sort within the group, vectorized gap detection.  The
+    shuffle carries only (user_id, ts).
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def count_sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
+        if ts.size == 0:
+            n_sessions = 0
+        else:
+            gaps = np.diff(ts) > gap_minutes * 60 * 1_000_000
+            n_sessions = 1 + int(gaps.sum())
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+            "n_events": pa.array([group.num_rows], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 + SUM(CASE WHEN gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+    FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def sample_documents(sf_dir: str, fraction: float = 0.1):
+    """Deterministic hash-based sample (the reproducible form of
+    ds.random_sample — sampling decisions must be stable across retries)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from engine.checks.sketches import HyperLogLog
+
+        ids = batch.column("doc_id").to_numpy()
+        h = HyperLogLog.hash64(ids)
+        mask = (h % np.uint64(10_000)) < np.uint64(int(fraction * 10_000))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+# ------------------------------------------------------------- big-big join
+
+
+def revenue_by_segment_day(sf_dir: str):
+    """lineitem ⋈ orders (big-big hash-shuffle join) + broadcast customer
+    segment lookup; revenue per (segment, order month).
+
+    The join shuffles only the projected key/measure columns; the small
+    customer side is broadcast, not shuffled.
+    """
+    import ray
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "rev_c": pa.array(_half_away_cents(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy()))),
+        })
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg_map: dict[int, str] = {}
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        seg_map.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    def order_tag(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(seg_ref)
+        seg = pd.Series(batch.column("o_custkey").to_numpy()).map(m)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "segment": pa.array(seg.tolist(), pa.string()),
+            "month": pc.strftime(batch.column("o_orderdate"), format="%Y-%m"),
+        })
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(2, min(16, cpus // 2))
+    joined = line.map_batches(line_partial, batch_format="pyarrow", zero_copy_batch=True).join(
+        orders.map_batches(order_tag, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner", num_partitions=n_parts, on=("o_orderkey",),
+    )
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "segment": batch.column("segment").to_pandas(),
+            "month": batch.column("month").to_pandas(),
+            "rev_c": batch.column("rev_c").to_numpy(),
+        })
+        g = df.groupby(["segment", "month"], as_index=False).agg(
+            n=("rev_c", "size"), rev_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": batch.column("segment"),
+            "month": batch.column("month"),
+            "n_items": batch.column("sum(n)"),
+            "revenue": pa.array(np.round(batch.column("sum(rev_c)").to_numpy() / 100.0, 2)),
+        })
+
+    return joined.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["segment", "month"]).sum(["n", "rev_c"]) \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["segment", "month"])
+
+
+REVENUE_SQL = """
+SELECT c_mktsegment AS segment, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_items,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY segment, month ORDER BY segment, month
+"""

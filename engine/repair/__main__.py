@@ -1,6 +1,5 @@
-import sys
+"""Module entry point: ``python -m engine.repair [file] [options]``."""
 
-from .api import cli
+from engine.repair.api import cli
 
-if __name__ == "__main__":
-    sys.exit(cli())
+raise SystemExit(cli())

@@ -135,3 +135,25 @@ def test_multimodal_stubs(ray_session):
     assert rows[0]["width"] > 0 and len(rows[0]["frame_offsets"]) == 4
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(fake=False)(pa.table({"image": pa.array([b"z"], pa.large_binary())}))
+
+
+def test_salted_group_quantiles(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import salted_group_digests
+
+    rng = np.random.default_rng(9)
+    # heavily skewed key: 90% "hot"
+    keys = np.where(rng.random(20_000) < 0.9, "hot", "cold")
+    vals = np.where(keys == "hot", rng.normal(100, 10, 20_000), rng.normal(500, 50, 20_000))
+    ds = ray.data.from_arrow(pa.table({
+        "clip_id": pa.array([f"c{i}" for i in range(20_000)], pa.string()),
+        "codec": pa.array(keys.tolist(), pa.string()),
+        "dur_ms": pa.array(vals),
+    }))
+    out = {r["codec"]: r for r in salted_group_digests(ds).take_all()}
+    assert abs(out["hot"]["p50"] - np.median(vals[keys == "hot"])) < 2.0
+    assert abs(out["cold"]["p50"] - np.median(vals[keys == "cold"])) < 10.0
+    assert out["hot"]["n"] + out["cold"]["n"] == 20_000

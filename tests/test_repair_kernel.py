@@ -245,3 +245,16 @@ def test_file_roundtrip(tmp_path):
     p.write_text('{"a": [1, 2,')
     assert from_file(p) == {"a": [1, 2]}
     assert from_file(p, chunk_length=2) == {"a": [1, 2]}
+
+
+def test_fenced_block_key_crash_case_is_graceful():
+    """The reference crashes (internal AssertionError, parse_object.py:195)
+    when a ```json fence appears in object-key context on this adversarial
+    input; this engine keeps the repair-or-ValueError contract instead.
+    Found by differential fuzzing (30k trials, sole divergence)."""
+    raw = ".,{”```json:1_0] 'None\\1/2null```jsonx}"
+    with pytest.raises(ValueError, match="Missing ':' after key"):
+        repair_json(raw, return_objects=True, strict=True, skip_json_loads=True)
+    # non-strict mode must also not crash
+    result = repair_json(raw, return_objects=True, skip_json_loads=True)
+    assert isinstance(result, (dict, list, str, int, float, bool, type(None)))
