@@ -107,7 +107,14 @@ def _embedding_near_dup(sf_dir: str):
     from engine.ops.similarity import near_dup_cosine_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return near_dup_cosine_pairs(emb, threshold=0.9).sort(["a", "b"])
+    rows = near_dup_cosine_pairs(emb, threshold=0.9).sort(["a", "b"]).take_all()
+    # Near-dup pairs are a small report; materialize with an explicit schema
+    # so an empty result still carries its columns.
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.int64()),
+        "b": pa.array([r["b"] for r in rows], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+    })
 
 
 def _lang_quality_documents(sf_dir: str):

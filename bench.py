@@ -96,7 +96,7 @@ def run_query_bench() -> dict[str, float]:
         "distinct_users_events", "orders_per_segment", "top10_orders",
         "repair_extract_events", "events_daily_by_type", "knn_cosine_top10",
         "minhash_near_dup", "simhash_near_dup", "hll_distinct_users",
-        "tdigest_quantity",
+        "tdigest_quantity", "sessionize_events", "revenue_by_segment_day",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
