@@ -54,6 +54,8 @@ class MinHashStage:
     """map_batches callable: text → minhash signature column (fixed-size list).
 
     Stateful (actor pool): the permutation parameters are built once per actor.
+    Per-document k x n_shingles hash matrices stay cache-resident (a whole-
+    batch matrix was measured slower — memory-bandwidth bound).
     """
 
     def __init__(self, k: int = 64, shingle_width: int = 3, text_col: str = "text",
@@ -180,16 +182,19 @@ class SimHashStage:
         import pandas as pd
 
         texts = batch.column(self.text_col).to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-            bits = (h[:, None] & bitcols[None, :]) != 0       # (n_tok, 64)
-            votes = bits.sum(axis=0) * 2 - len(toks)           # positive → bit set
-            out[i] = np.dot((votes > 0).astype(np.uint64), bitcols)
+        n = len(texts)
+        token_lists = [(t or "").split() for t in texts]
+        counts = np.array([len(toks) for toks in token_lists], dtype=np.int64)
+        all_tokens = [tok for toks in token_lists for tok in toks]
+        out = np.zeros(n, dtype=np.uint64)
+        if all_tokens:
+            h = pd.util.hash_array(np.asarray(all_tokens, dtype=object)).astype(np.uint64)
+            bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            bits = ((h[:, None] & bitcols[None, :]) != 0).astype(np.int64)  # (tok, 64)
+            nonzero = counts > 0
+            offsets = np.concatenate([[0], np.cumsum(counts[nonzero])[:-1]])
+            votes = np.add.reduceat(bits, offsets, axis=0) * 2 - counts[nonzero, None]
+            out[nonzero] = (votes > 0).astype(np.uint64) @ bitcols
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "simhash": pa.array(out.astype(np.int64)),

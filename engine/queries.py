@@ -186,8 +186,24 @@ ORDER BY o_orderpriority
 
 
 def dedup_exact_documents(sf_dir: str):
+    """Exact dedup, keep-first: shuffle 8-byte content hashes, not documents.
+
+    (The text column is hashed inside map_batches; the groupby moves only
+    (hash, doc_id) pairs — at petabyte scale this is the difference between
+    shuffling keys and shuffling the corpus.)
+    """
+    from engine.checks.sketches import HyperLogLog
+
+    def hash_text(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        return pa.table({
+            "h": pa.array(HyperLogLog.hash64(texts).astype(np.int64)),
+            "doc_id": batch.column("doc_id"),
+        })
+
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .groupby("text").min("doc_id") \
+        .map_batches(hash_text, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("h").min("doc_id") \
         .map_batches(lambda t: t.select(["min(doc_id)"]).rename_columns(["doc_id"]),
                      batch_format="pyarrow", zero_copy_batch=True) \
         .sort("doc_id")
