@@ -17,6 +17,8 @@ FAST_ORACLED = [
     "token_stats_documents",
     "events_daily_by_type",
     "knn_cosine_top10",
+    "sessionize_events",
+    "revenue_by_segment_day",
 ]
 
 
