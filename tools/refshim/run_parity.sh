@@ -4,9 +4,15 @@
 # Excluded files test reference-internal plumbing with no public contract:
 #   - tests/utils/test_string_file_wrapper.py (private get_buffer/_ensure_chunk_position)
 #   - tests/test_type_inference.py            (mypy overload inference of the reference package)
-#   - tests/test_performance.py              (pytest-benchmark; covered by bench.py instead)
-#   - tests/test_docs_app_schema.py          (imports the reference repo's docs/ FastAPI app)
 #   - tests/profiler.py                      (not a test)
+# Included additionally:
+#   - tests/test_docs_app_schema.py (reference Flask demo app run against this
+#     engine; one test deselected — it fails against the REFERENCE too in this
+#     environment: the Flask test client itself recurses serializing the
+#     550-deep request schema)
+#   - tests/test_performance.py run as a second, informational pass (hardware-
+#     dependent thresholds; on this VM the reference fails 6 of them, this
+#     engine fails 4 — see BASELINE.md)
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 REF="${REF:-/root/reference}"
@@ -19,10 +25,23 @@ for f in test_json_repair.py test_parse_array.py test_parse_comment.py \
          test_parse_number.py test_parse_object.py test_parse_string.py \
          test_repair_json_cli.py test_repair_json_from_file.py \
          test_schema_guided_parse.py test_schema_parser_paths.py \
-         test_schema_repairer.py test_strict_mode.py \
+         test_schema_repairer.py test_strict_mode.py test_docs_app_schema.py \
          valid.json invalid.json __init__.py; do
   cp "$REF/tests/$f" "$WORK/tests/$f"
 done
+mkdir -p "$WORK/docs"
+cp "$REF/docs/app.py" "$WORK/docs/app.py"
+touch "$WORK/docs/__init__.py"
+cat > "$WORK/json_repair.py" <<'PYEOF'
+from src.json_repair import *  # noqa: F401,F403
+from src.json_repair import JSONReturnType, from_file, load, loads, repair_json  # noqa: F401
+PYEOF
 
 cd "$WORK"
-PYTHONPATH="$REPO:$WORK" python -m pytest tests/ -q "$@"
+PYTHONPATH="$REPO:$WORK" python -m pytest tests/ -q \
+  --deselect tests/test_docs_app_schema.py::test_docs_api_deep_schema_returns_400_instead_of_500 \
+  "$@"
+
+echo "--- informational: reference performance thresholds on this hardware ---"
+cp "$REF/tests/test_performance.py" "$WORK/tests/test_performance.py"
+PYTHONPATH="$REPO:$WORK" env -u CI python -m pytest tests/test_performance.py -q || true
