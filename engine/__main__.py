@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     val.add_argument("--batch-size", type=int, default=256)
     val.add_argument("--no-resume", action="store_true", help="recompute even if manifests exist")
     val.add_argument("--num-cpus", type=int, default=None)
+    val.add_argument("--config", default=None,
+                     help="JSON config file; keys override CLI defaults "
+                          "(clips, partitions, seed, batch_size, min_snr_db, transcript_schema)")
 
     base = sub.add_parser("baseline", help="regenerate the frozen drift baseline sketch")
     base.add_argument("--clips", type=int, default=20_000)
@@ -53,12 +56,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "validate":
             from engine.run import run_validation
 
+            cfg = {}
+            if args.config:
+                from pathlib import Path
+
+                cfg = json.loads(Path(args.config).read_text())
+            n_clips = cfg.get("clips", args.clips)
             metrics = run_validation(
-                args.clips, args.out, seed=args.seed, n_partitions=args.partitions,
-                batch_size=args.batch_size, resume=not args.no_resume,
+                n_clips, args.out,
+                seed=cfg.get("seed", args.seed),
+                n_partitions=cfg.get("partitions", args.partitions),
+                batch_size=cfg.get("batch_size", args.batch_size),
+                resume=not args.no_resume,
+                min_snr_db=cfg.get("min_snr_db"),
+                schema=cfg.get("transcript_schema"),
             )
             print(json.dumps(metrics, default=str))
-            return 0 if metrics["rows"] == args.clips else 1
+            return 0 if metrics["rows"] == n_clips else 1
         if args.command == "baseline":
             from engine.baseline import build_baseline
             from engine.run import BASELINE_SKETCH_PATH

@@ -65,17 +65,25 @@ def _default_concurrency() -> tuple[int, int]:
 
 
 def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=None,
-                           batch_size: int = 256, fused: bool = True):
+                           batch_size: int = 256, fused: bool = True,
+                           schema: dict | None = None, min_snr_db: float | None = None):
     """Attach the check stages to a clips Dataset (lazy).
 
     Fused (default): one actor pool runs transcript repair + audio checks, so
     audio payloads never cross the object store between stages.  Unfused keeps
     two pools (useful when the stages need different resources).
+    ``schema`` / ``min_snr_db`` override the default transcript schema and SNR
+    threshold (run-config surface).
     """
+    from engine.stages import MIN_SNR_DB
+
+    stage_kwargs = {"schema": schema,
+                    "min_snr_db": MIN_SNR_DB if min_snr_db is None else min_snr_db}
     if fused:
         concurrency = repair_concurrency or _fused_concurrency()
         return ds.map_batches(
             ClipCheckStage,
+            fn_constructor_kwargs=stage_kwargs,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -157,6 +165,8 @@ def run_validation(
     batch_size: int = 256,
     resume: bool = True,
     concurrency=None,
+    min_snr_db: float | None = None,
+    schema: dict | None = None,
 ) -> dict:
     """Full resumable validation run.  Returns the metrics dict."""
     out = Path(out_dir)
@@ -174,7 +184,8 @@ def run_validation(
         hi = min(lo + per_part, n_clips)
         if lo >= hi:
             continue
-        metrics = _run_partition(part, lo, hi, out, seed, batch_size, concurrency)
+        metrics = _run_partition(part, lo, hi, out, seed, batch_size, concurrency,
+                                 min_snr_db=min_snr_db, schema=schema)
         manifest = {
             "partition": part,
             "row_range": [lo, hi],
@@ -196,7 +207,7 @@ def run_validation(
 
 
 def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
-                   batch_size: int, concurrency) -> dict:
+                   batch_size: int, concurrency, *, min_snr_db=None, schema=None) -> dict:
     import ray.data
 
     from engine.data.clips import make_clips_batch
@@ -207,7 +218,8 @@ def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
         batch_size=min(512, batch_size),
     )
     checked = validate_clips_dataset(ds, repair_concurrency=concurrency,
-                                     audio_concurrency=concurrency, batch_size=batch_size)
+                                     audio_concurrency=concurrency, batch_size=batch_size,
+                                     min_snr_db=min_snr_db, schema=schema)
     # Referential check: broadcast Bloom + exact set built from the speakers
     # dimension table once per partition run.
     checked = attach_fk_check(checked, seed)

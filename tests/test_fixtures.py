@@ -110,3 +110,39 @@ def test_strict_stage_flags(ray_session):
     by_raw = {r["raw"]: r for r in out}
     assert not by_raw['[{"key": "a", "key": "b"}]']["raw_ok"]     # strict rejects dup key
     assert by_raw['{"ok": 1}']["raw_ok"]
+
+
+def test_check_registry_builtins_and_custom(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.checks.registry import available_checks, register_check, run_checks
+
+    assert {"row_counts", "null_rates", "numeric_stats", "distinct_approx"} <= set(available_checks())
+
+    @register_check
+    class MaxLen:
+        name = "max_text_len"
+
+        def batch_partial(self, batch):
+            texts = batch.column("text").to_pylist()
+            return {"max": max((len(t or "") for t in texts), default=0)}
+
+        def merge(self, a, b):
+            return {"max": max(a["max"], b["max"])}
+
+        def finalize(self, state):
+            return state
+
+    ds = ray.data.from_arrow(pa.table({
+        "clip_id": pa.array([f"c{i % 50}" for i in range(200)], pa.string()),
+        "text": pa.array(["x" * (i % 17) for i in range(200)], pa.string()),
+        "v": pa.array([float(i) for i in range(200)]),
+    }))
+    out = run_checks(ds, ["row_counts", "null_rates", "numeric_stats",
+                          "distinct_approx", "max_text_len"])
+    assert out["row_counts"]["rows"] == 200
+    assert out["null_rates"]["text"] == 0.0
+    assert out["numeric_stats"]["v"]["count"] == 200
+    assert abs(out["distinct_approx"]["distinct"] - 50) <= 2
+    assert out["max_text_len"]["max"] == 16
