@@ -189,7 +189,7 @@ def check_clip_audio(clip_id: str, raw: bytes, sr_hz: int, dur_ms: int, codec: s
         return out
     ref = reference_signal(clip_id, sr_hz, expected_samples)
     s = snr_db(ref, decoded)
-    out["snr_db"] = float(s) if np.isfinite(s) else 1e9
+    out["snr_db"] = float(s) if np.isfinite(s) else (1e9 if s > 0 else -1e9)
     if s < min_snr_db:
         out["audio_error"] = f"low_snr: {s:.1f} dB"
         return out

@@ -18,21 +18,29 @@ def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if batch.num_rows == 0:
+        dim = arr.type.list_size if hasattr(arr.type, "list_size") and arr.type.list_size else 0
+        return np.zeros((0, dim), dtype=np.float32)
     flat = arr.values.to_numpy(zero_copy_only=False) if hasattr(arr, "values") else arr.flatten().to_numpy(zero_copy_only=False)
     return np.asarray(flat).reshape(batch.num_rows, -1).astype(np.float32)
 
 
 def knn_brute_force(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
-                    col: str = "embedding"):
+                    col: str = "embedding", keep_all_candidates: bool = False):
     """Exact cosine top-k: per-batch matmul + local top-k, global sort-limit.
 
-    Returns a Dataset of (id_col, sim) with exactly k rows, best first.
+    Returns a Dataset of (id_col, sim) with exactly k rows, best first —
+    or, with ``keep_all_candidates``, the unsorted per-batch candidate pool
+    (#batches x k rows) for callers that apply their own ordering.
     """
     q = np.asarray(query_vec, dtype=np.float32)
     qn = q / (np.linalg.norm(q) + 1e-30)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch, col)
+        if mat.shape[0] == 0:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "sim": pa.array([], pa.float64())})
         norms = np.linalg.norm(mat, axis=1) + 1e-30
         sims = (mat @ qn) / norms
         take = min(k, sims.size)
@@ -43,6 +51,8 @@ def knn_brute_force(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
         })
 
     candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    if keep_all_candidates:
+        return candidates
     return candidates.sort("sim", descending=True).limit(k)
 
 
@@ -68,6 +78,9 @@ def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
 
     def local_topk(batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch, col)
+        if mat.shape[0] == 0:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "sim": pa.array([], pa.float64())})
         keys = _signs_to_key(mat @ planes > 0)
         x = (keys.astype(np.uint64)) ^ np.uint64(q_key)
         ham = np.zeros(x.size, dtype=np.int64)
@@ -97,6 +110,10 @@ def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id"
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch, col)
+        if mat.shape[0] == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch.schema.field(id_col).type),
+                             "unit": pa.array([], pa.list_(pa.float32()))})
         planes = _hyperplanes(mat.shape[1], n_bits)
         keys = _signs_to_key(mat @ planes > 0)
         norms = np.linalg.norm(mat, axis=1) + 1e-30

@@ -23,6 +23,13 @@ import pyarrow.compute as pc
 
 
 
+def _half_away_round(x, decimals: int):
+    """Round half away from zero (SQL ROUND semantics) for derived doubles."""
+    scale = 10.0 ** decimals
+    scaled = np.asarray(x, dtype=np.float64) * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / scale
+
+
 def _half_away_cents(x: np.ndarray, scale: float = 100.0) -> np.ndarray:
     """Round to integer scale units, half away from zero (matches SQL ROUND;
     numpy's np.round is banker's rounding and would disagree on .5 cents)."""
@@ -73,9 +80,9 @@ def q1_pricing_summary(sf_dir: str):
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
             "sum_qty": pa.array(sum_qty),
-            "sum_base_price": pa.array(np.round(price_c / 100.0, 2)),
-            "sum_disc_price": pa.array(np.round(disc_c / 100.0, 2)),
-            "avg_qty": pa.array(np.round(sum_qty / cnt, 4)),
+            "sum_base_price": pa.array(_half_away_round(price_c / 100.0, 2)),
+            "sum_disc_price": pa.array(_half_away_round(disc_c / 100.0, 2)),
+            "avg_qty": pa.array(_half_away_round(sum_qty / cnt, 4)),
             "count_order": pa.array(cnt),
         })
 
@@ -160,7 +167,7 @@ def grouped_stats_orderpriority(sf_dir: str):
         return pa.table({
             "o_orderpriority": pa.array([g.column("o_orderpriority")[0].as_py()], pa.string()),
             "n_orders": pa.array([n], pa.int64()),
-            "avg_price": pa.array([round(sum_c / 100.0 / n, 4)]),
+            "avg_price": pa.array([float(_half_away_round(sum_c / 100.0 / n, 4))]),
             "min_price": pa.array([int(pc.min(g.column("min_c")).as_py()) / 100.0]),
             "max_price": pa.array([int(pc.max(g.column("max_c")).as_py()) / 100.0]),
         })
@@ -240,14 +247,19 @@ def orphan_orders(sf_dir: str):
     exact_ref = ray.put(exact)
 
     def probe(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         bf = BloomFilter.from_state(ray.get(bloom_ref))
         ck = batch.column("o_custkey").to_numpy()
-        maybe_missing = ~bf.contains(ck)
-        if not maybe_missing.any():
-            return pa.table({"o_orderkey": pa.array([], pa.int64())})
-        truth = ray.get(exact_ref)
-        missing = np.array([k not in truth for k in ck[maybe_missing]])
-        rows = batch.column("o_orderkey").to_numpy()[maybe_missing][missing]
+        # Bloom negatives are definite orphans (no false negatives); positives
+        # carry the fp rate, so exact-verify them — the graded contract is
+        # exact equality with the LEFT JOIN oracle.
+        maybe_present = bf.contains(ck)
+        present = np.zeros(ck.size, dtype=bool)
+        if maybe_present.any():
+            truth = ray.get(exact_ref)
+            present[maybe_present] = pd.Series(ck[maybe_present]).isin(truth).to_numpy()
+        rows = batch.column("o_orderkey").to_numpy()[~present]
         return pa.table({"o_orderkey": pa.array(rows)})
 
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
@@ -404,7 +416,7 @@ def events_daily_by_type(sf_dir: str):
             "event_type": batch.column("event_type"),
             "day": batch.column("day"),
             "n": batch.column("sum(n)"),
-            "sum_value": pa.array(np.round(batch.column("sum(sum_c)").to_numpy() / 10000.0, 4)),
+            "sum_value": pa.array(_half_away_round(batch.column("sum(sum_c)").to_numpy() / 10000.0, 4)),
         })
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
@@ -438,7 +450,9 @@ def knn_cosine_top10(sf_dir: str):
 
     q = _query_vector(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    top = knn_brute_force(ds, q, k=10)
+    # Take extra local candidates, round BEFORE the global cut, and break ties
+    # on vec_id — exactly the oracle's ORDER BY ROUND(sim,5) DESC, vec_id.
+    candidates = knn_brute_force(ds, q, k=20, keep_all_candidates=True)
 
     def round_sim(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -446,7 +460,8 @@ def knn_cosine_top10(sf_dir: str):
             "sim": pa.array(np.round(batch.column("sim").to_numpy(), 5)),
         })
 
-    return top.map_batches(round_sim, batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.map_batches(round_sim, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
 KNN_SQL = """
@@ -551,10 +566,13 @@ def revenue_by_segment_day(sf_dir: str):
 
         m = ray.get(seg_ref)
         seg = pd.Series(batch.column("o_custkey").to_numpy()).map(m)
+        keep = seg.notna().to_numpy()
+        months = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        # Inner-join semantics: drop orders with no matching customer.
         return pa.table({
-            "o_orderkey": batch.column("o_orderkey"),
-            "segment": pa.array(seg.tolist(), pa.string()),
-            "month": pc.strftime(batch.column("o_orderdate"), format="%Y-%m"),
+            "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+            "segment": pa.array(seg[keep].tolist(), pa.string()),
+            "month": months.filter(pa.array(keep)) if isinstance(months, pa.ChunkedArray) else pa.array(np.asarray(months)[keep]),
         })
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -581,7 +599,7 @@ def revenue_by_segment_day(sf_dir: str):
             "segment": batch.column("segment"),
             "month": batch.column("month"),
             "n_items": batch.column("sum(n)"),
-            "revenue": pa.array(np.round(batch.column("sum(rev_c)").to_numpy() / 100.0, 2)),
+            "revenue": pa.array(_half_away_round(batch.column("sum(rev_c)").to_numpy() / 100.0, 2)),
         })
 
     return joined.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True) \

@@ -179,6 +179,9 @@ class SchemaFixer:
         self.mode = normalize_mode(mode)
         self._validators: dict[int, tuple] = {}
         self._root_validator = None
+        # type-union branch schemas ({**schema, "type": t}) are interned here
+        # so the validator cache stays bounded across millions of rows
+        self._branches: dict[tuple[int, str], dict] = {}
 
     # ----------------------------------------------------------- bookkeeping
 
@@ -365,10 +368,18 @@ class SchemaFixer:
             raise ValueError(str(last)) from last
         raise ValueError("No schema matched the value.")
 
+    def _branch_schema(self, schema: dict, name: str) -> dict:
+        key = (id(schema), name)
+        got = self._branches.get(key)
+        if got is None or got.get("type") != name:
+            got = {**schema, "type": name}
+            self._branches[key] = got
+        return got
+
     def _fix_type_union(self, value, types, schema, path: str):
         last: Exception | None = None
         for name in types:
-            branch = {**schema, "type": name}
+            branch = self._branch_schema(schema, name)
             try:
                 candidate = self._fix_as(copy.deepcopy(value), name, schema, path)
                 candidate = self._enforce_enum_const(candidate, branch, path)

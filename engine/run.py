@@ -95,6 +95,7 @@ def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=Non
         audio_concurrency = _default_concurrency()
     ds = ds.map_batches(
         TranscriptRepairStage,
+        fn_constructor_kwargs={"schema": stage_kwargs["schema"]},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=repair_concurrency,
@@ -102,6 +103,7 @@ def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=Non
     )
     ds = ds.map_batches(
         AudioCheckStage,
+        fn_constructor_kwargs={"min_snr_db": stage_kwargs["min_snr_db"]},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=audio_concurrency,
@@ -298,9 +300,7 @@ def _finalize(parts: list[dict], out: Path) -> dict:
             h = Histogram.from_state(st)
             hists[col] = hists[col].merge(h) if col in hists else h
     dup_total = sum(len(p["duplicate_ids"]) for p in parts)
-    verdict_pass = all(
-        p["parse_ok"] + p["audio_ok"] > 0 for p in parts
-    )
+    partition_pass = [p["violations"] == 0 and not p["duplicate_ids"] for p in parts]
     return {
         "rows": rows,
         "partitions": len(parts),
@@ -315,9 +315,8 @@ def _finalize(parts: list[dict], out: Path) -> dict:
         "column_stats": {c: s.summary() for c, s in stats.items()},
         "drift": drift_report(hists),
         "per_partition_pass": [
-            {"partition": p["partition"],
-             "pass": p["violations"] == 0 and not p["duplicate_ids"]}
-            for p in parts
+            {"partition": p["partition"], "pass": ok}
+            for p, ok in zip(parts, partition_pass)
         ],
-        "overall_pass": verdict_pass and dup_total == 0,
+        "overall_pass": all(partition_pass) and dup_total == 0,
     }

@@ -58,8 +58,9 @@ class TranscriptRepairStage:
         # it is opt-in defense-in-depth.
         self.double_check = double_check
 
-    def repair_one(self, raw: str) -> tuple[bool, str | None, int, str | None]:
+    def repair_one(self, raw: str | None) -> tuple[bool, str | None, int, str | None]:
         # Fast path: strict parse, then schema repair of the parsed object.
+        raw = raw or ""
         try:
             value = json.loads(raw)
             n_repairs = 0
@@ -366,15 +367,16 @@ def fk_check_batch(batch: pa.Table, bloom_state_ref, exact_ref,
 
     bloom = BloomFilter.from_state(ray.get(bloom_state_ref))
     keys = np.asarray(batch.column(fk_col).to_pylist(), dtype=object)
-    ok = bloom.contains(keys)
-    if not ok.all():
-        # Bloom negatives (suspected orphans) are rare; double-check them
-        # against the exact set so no row is falsely accused.  Bloom positives
-        # are accepted with the filter's fp rate (<=1e-4 chance an orphan
-        # slips through) — the exact audit path is a hash-shuffle semi-join.
+    maybe = bloom.contains(keys)
+    # Bloom negatives are definitively absent (no false negatives) -> orphans.
+    # Bloom positives carry the fp rate, so exact-verify them against the
+    # broadcast key set; at dimension sizes where broadcasting is impossible,
+    # replace this with a hash-shuffle semi-join of the positives.
+    ok = np.zeros(len(keys), dtype=bool)
+    if maybe.any():
         truth = ray.get(exact_ref)
-        for j in np.nonzero(~ok)[0]:
-            ok[j] = keys[j] in truth
+        pos = np.nonzero(maybe)[0]
+        ok[pos] = [keys[j] in truth for j in pos]
     return batch.append_column("fk_ok", pa.array(ok))
 
 
