@@ -27,7 +27,9 @@ def entry() -> Any:
 
     ds = clips_dataset(1_000, seed=42)
     checked = attach_fk_check(validate_clips_dataset(ds, batch_size=256))
-    return checked.select_columns(VERDICT_COLS)
+    # Deterministic row order: clip_id alone is not unique (planted dup ids).
+    return checked.select_columns(VERDICT_COLS).sort(
+        ["clip_id", "dur_ms", "sr_hz", "codec", "text_len"])
 
 
 # --------------------------------------------------------------------------
@@ -41,20 +43,20 @@ def _validate_clips(sf_dir: str):
     n = min(clips_count_for_sf_dir(sf_dir), 10_000)
     ds = cached_clips_dataset(n, seed=42)
     checked = attach_fk_check(validate_clips_dataset(ds, batch_size=256))
-    return checked.select_columns(VERDICT_COLS)
+    # Deterministic row order: clip_id alone is not unique (planted dup ids).
+    return checked.select_columns(VERDICT_COLS).sort(
+        ["clip_id", "dur_ms", "sr_hz", "codec", "text_len"])
 
 
 def _clips_violations(sf_dir: str):
     from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
-    from engine.run import validate_clips_dataset
+    from engine.run import attach_fk_check, validate_clips_dataset
     from engine.stages import violations_batch
-
-    from engine.run import attach_fk_check
 
     n = min(clips_count_for_sf_dir(sf_dir), 10_000)
     ds = attach_fk_check(validate_clips_dataset(cached_clips_dataset(n, seed=42), batch_size=256))
     return ds.map_batches(violations_batch, batch_format="pyarrow",
-                          zero_copy_batch=True).sort(["clip_id", "check"])
+                          zero_copy_batch=True).sort(["clip_id", "check", "message"])
 
 
 def _minhash_near_dup(sf_dir: str):
@@ -94,11 +96,15 @@ def _knn_lsh_top10(sf_dir: str):
     from engine.queries import _query_vector
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    top = knn_lsh(emb, _query_vector(sf_dir), k=10, max_hamming=3)
-    return top.map_batches(
+    # Round before the global cut and tiebreak on vec_id (deterministic order
+    # even with duplicate embeddings — same convention as knn_cosine_top10).
+    cand = knn_lsh(emb, _query_vector(sf_dir), k=20, max_hamming=3,
+                   keep_all_candidates=True)
+    return cand.map_batches(
         lambda t: pa.table({"vec_id": t.column("vec_id"),
                             "sim": pa.array(np.round(t.column("sim").to_numpy(), 5))}),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
 def _embedding_near_dup(sf_dir: str):

@@ -67,7 +67,8 @@ def _signs_to_key(signs: np.ndarray) -> np.ndarray:
 
 
 def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
-            col: str = "embedding", n_bits: int = 12, max_hamming: int = 2):
+            col: str = "embedding", n_bits: int = 12, max_hamming: int = 2,
+            keep_all_candidates: bool = False):
     """Approximate top-k: score only rows whose hyperplane bucket is within
     ``max_hamming`` bits of the query's bucket (candidate pruning per batch,
     no shuffle at all — the planes are broadcast with the closure)."""
@@ -100,6 +101,8 @@ def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
         })
 
     candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    if keep_all_candidates:
+        return candidates
     return candidates.sort("sim", descending=True).limit(k)
 
 

@@ -60,6 +60,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}; available: {sorted(qs)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -83,11 +87,14 @@ def main() -> int:
             problems.append(f"cols {sorted(mine.columns)} != {sorted(want.columns)}")
         elif canonical_hash(mine) != canonical_hash(want):
             problems.append("value-hash mismatch")
-            merged = mine.merge(want, how="outer", indicator=True,
-                                on=list(mine.columns)) if len(mine.columns) < 8 else None
-            if merged is not None:
-                diff = merged[merged["_merge"] != "both"]
-                problems.append(f"first diffs:\n{diff.head(6)}")
+            try:
+                if len(mine.columns) < 8:
+                    merged = mine.merge(want, how="outer", indicator=True,
+                                        on=list(mine.columns))
+                    diff = merged[merged["_merge"] != "both"]
+                    problems.append(f"first diffs:\n{diff.head(6)}")
+            except Exception as exc:  # noqa: BLE001  (diff printing is best-effort)
+                problems.append(f"(diff unavailable: {type(exc).__name__}: {exc})")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(str(p) for p in problems))
             failures += 1

@@ -43,23 +43,16 @@ FLAG_SETS = [
 ]
 
 
-def run_one(raw: str, kwargs: dict):
+def _run(fn, raw: str, kwargs: dict):
     try:
-        return ref_repair(raw, **kwargs), None
-    except Exception as exc:  # noqa: BLE001
-        return None, type(exc).__name__
-
-
-def run_mine(raw: str, kwargs: dict):
-    try:
-        return my_repair(raw, **kwargs), None
+        return fn(raw, **kwargs), None
     except Exception as exc:  # noqa: BLE001
         return None, type(exc).__name__
 
 
 def compare(raw: str, kwargs: dict) -> bool:
-    want = run_one(raw, kwargs)
-    got = run_mine(raw, kwargs)
+    want = _run(ref_repair, raw, kwargs)
+    got = _run(my_repair, raw, kwargs)
     if want != got:
         print(f"DIFF kwargs={kwargs} raw={raw!r}")
         print(f"  ref : {want!r}"[:200])
