@@ -86,6 +86,8 @@ def run_flagship(n_clips: int) -> dict:
     states = [json.loads(r["partial"]) for r in partials.take_all()]
     rows = sum(s["rows"] for s in states)
     wall = time.time() - t0
+    if "--stats" in sys.argv:
+        print(partials.stats(), file=sys.stderr)
     return {"rows": rows, "wall_s": round(wall, 2),
             "clips_per_s": round(rows / wall, 1)}
 
