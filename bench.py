@@ -83,8 +83,10 @@ def run_flagship(n_clips: int) -> dict:
     # audio bytes).
     partials = checked.map_batches(sketch_partials_batch, batch_format="pyarrow",
                                    zero_copy_batch=True)
-    states = [json.loads(r["partial"]) for r in partials.take_all()]
-    rows = sum(s["rows"] for s in states)
+    from engine.stages import tree_merge_partials
+
+    merged = tree_merge_partials(partials.materialize())
+    rows = merged["totals"]["rows"]
     wall = time.time() - t0
     if "--stats" in sys.argv:
         print(partials.stats(), file=sys.stderr)

@@ -146,3 +146,42 @@ def test_check_registry_builtins_and_custom(ray_session):
     assert out["numeric_stats"]["v"]["count"] == 200
     assert abs(out["distinct_approx"]["distinct"] - 50) <= 2
     assert out["max_text_len"]["max"] == 16
+
+
+def test_tree_merge_partials_matches_flat_merge(ray_session):
+    import json as _json
+
+    import ray.data
+
+    from engine.data.clips import make_clips_batch
+    from engine.run import validate_clips_dataset
+    from engine.stages import merge_sketch_partials, sketch_partials_batch, tree_merge_partials
+
+    ds = ray.data.range(1200).map_batches(
+        lambda b: make_clips_batch(b), batch_format="numpy", batch_size=100)
+    partials = validate_clips_dataset(ds, batch_size=100).map_batches(
+        sketch_partials_batch, batch_format="pyarrow", zero_copy_batch=True)
+    partials = partials.materialize()
+
+    flat = merge_sketch_partials([_json.loads(r["partial"]) for r in partials.take_all()])
+    tree = tree_merge_partials(partials, fan_in=3, driver_threshold=2)
+    assert tree["totals"] == flat["totals"]
+    assert abs(tree["hll"].estimate() - flat["hll"].estimate()) < 1e-9
+    for col in flat["hists"]:
+        assert (tree["hists"][col].counts == flat["hists"][col].counts).all()
+
+
+def test_fk_orphans_semijoin(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import fk_orphans_semijoin
+
+    dim = ray.data.from_arrow(pa.table({"speaker_id": pa.array(
+        [f"spk-{i:04d}" for i in range(500)], pa.string())}))
+    fact_keys = [f"spk-{i % 500:04d}" for i in range(5000)] + ["orphan-a", "orphan-b"]
+    fact = ray.data.from_arrow(pa.table({"speaker_id": pa.array(fact_keys, pa.string())}))
+    orphans = sorted(r["speaker_id"] for r in
+                     fk_orphans_semijoin(fact, dim, fact_key="speaker_id",
+                                         dim_key="speaker_id").take_all())
+    assert orphans == ["orphan-a", "orphan-b"]
