@@ -290,3 +290,37 @@ def jaccard_verify(pairs_ds, docs_ds, *, text_col: str = "text", id_col: str = "
         return out.filter(pa.compute.greater_equal(out.column("jaccard"), min_jaccard))
 
     return both.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_keep_first(ds, *, id_col: str = "doc_id", content_col: str = "text",
+                     out_path: str | None = None, n_buckets: int = 64):
+    """Exact keep-first dedup at scale: content-hash shuffle, winner per hash,
+    output written as bucket-partitioned keep-lists (never a driver list).
+
+    The shuffle moves (8-byte hash, id) pairs; the winners Dataset carries
+    (bucket, id).  With ``out_path`` the keep-list lands as
+    ``out_path/bucket=K/*.parquet`` so a downstream filter can broadcast or
+    join per bucket, and a failed run can resume per bucket (SCALE.md gap #3).
+    """
+    from engine.checks.sketches import HyperLogLog
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        values = np.asarray(batch.column(content_col).to_pylist(), dtype=object)
+        h = HyperLogLog.hash64(values)
+        return pa.table({
+            "h": pa.array(h.astype(np.int64)),
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+            id_col: batch.column(id_col),
+        })
+
+    winners = ds.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("h").min([id_col, "bucket"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "bucket": t.column("min(bucket)"),
+                id_col: t.column(f"min({id_col})"),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True)
+    if out_path is not None:
+        winners.write_parquet(out_path, partition_cols=["bucket"])
+    return winners

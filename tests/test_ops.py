@@ -157,3 +157,22 @@ def test_salted_group_quantiles(ray_session):
     assert abs(out["hot"]["p50"] - np.median(vals[keys == "hot"])) < 2.0
     assert abs(out["cold"]["p50"] - np.median(vals[keys == "cold"])) < 10.0
     assert out["hot"]["n"] + out["cold"]["n"] == 20_000
+
+
+def test_dedup_keep_first_bucketed(docs_ds, tmp_path):
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import dedup_keep_first
+
+    out = str(tmp_path / "keep")
+    winners = dedup_keep_first(docs_ds, out_path=out, n_buckets=8)
+    ids = sorted(r["doc_id"] for r in winners.take_all())
+    # 83 docs, one exact dup planted (82 == 2) -> 82 winners, dup loses to first
+    assert len(ids) == docs_ds.count() - 1
+    assert 2 in ids and 82 not in ids
+    # bucket-partitioned layout on disk
+    import glob
+    buckets = glob.glob(f"{out}/bucket=*")
+    assert buckets
+    total = sum(pq.read_table(f).num_rows for b in buckets for f in glob.glob(f"{b}/*.parquet"))
+    assert total == len(ids)
