@@ -369,12 +369,17 @@ class SchemaFixer:
         raise ValueError("No schema matched the value.")
 
     def _branch_schema(self, schema: dict, name: str) -> dict:
+        # Keyed by id() like _validators, and like _validators the entry keeps
+        # a strong reference to the keyed schema and identity-checks it —
+        # otherwise CPython id reuse could serve a branch built from a freed,
+        # different schema dict.
         key = (id(schema), name)
-        got = self._branches.get(key)
-        if got is None or got.get("type") != name:
-            got = {**schema, "type": name}
-            self._branches[key] = got
-        return got
+        cached = self._branches.get(key)
+        if cached is not None and cached[0] is schema:
+            return cached[1]
+        branch = {**schema, "type": name}
+        self._branches[key] = (schema, branch)
+        return branch
 
     def _fix_type_union(self, value, types, schema, path: str):
         last: Exception | None = None
