@@ -2,8 +2,7 @@
 # Run the reference library's own pytest suite against our engine via refshim.
 #
 # Excluded files test reference-internal plumbing with no public contract:
-#   - tests/utils/test_string_file_wrapper.py (private get_buffer/_ensure_chunk_position)
-#     (tests/utils/test_pattern_properties.py IS included)
+#     (tests/utils/ white-box files ARE included via shim compat surface)
 #   - tests/test_type_inference.py            (mypy overload inference of the reference package)
 #   - tests/profiler.py                      (not a test)
 # Included additionally:
@@ -23,6 +22,7 @@ trap 'rm -rf "$WORK"' EXIT
 cp -r "$REPO/tools/refshim/src" "$WORK/src"
 mkdir -p "$WORK/tests/utils"
 cp "$REF/tests/utils/test_pattern_properties.py" "$WORK/tests/utils/" 2>/dev/null || true
+cp "$REF/tests/utils/test_string_file_wrapper.py" "$WORK/tests/utils/" 2>/dev/null || true
 touch "$WORK/tests/utils/__init__.py"
 for f in test_json_repair.py test_parse_array.py test_parse_comment.py \
          test_parse_number.py test_parse_object.py test_parse_string.py \
