@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": q.knn_cosine_top10,
         "sessionize_events": q.sessionize_events,
         "revenue_by_segment_day": q.revenue_by_segment_day,
+        "union_region_nation_names": q.union_region_nation_names,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -280,4 +281,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": q.KNN_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
+        "union_region_nation_names": q.UNION_SQL,
     }

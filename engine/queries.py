@@ -616,3 +616,28 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
 GROUP BY segment, month ORDER BY segment, month
 """
+
+
+# ------------------------------------------------------------------- set ops
+
+
+def union_region_nation_names(sf_dir: str):
+    """Set-ops demo: ds.union of two projected streams (no shuffle — blocks
+    are concatenated lazily), deterministic order via the final sort."""
+    regions = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).map_batches(
+        lambda t: pa.table({"name": t.column("r_name"),
+                            "kind": pa.array(["region"] * t.num_rows, pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nations = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table({"name": t.column("n_name"),
+                            "kind": pa.array(["nation"] * t.num_rows, pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return regions.union(nations).sort(["kind", "name"])
+
+
+UNION_SQL = """
+SELECT r_name AS name, 'region' AS kind FROM region
+UNION ALL
+SELECT n_name AS name, 'nation' AS kind FROM nation
+ORDER BY kind, name
+"""
