@@ -261,35 +261,55 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def jaccard_verify(pairs_ds, docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
                    width: int = 3, min_jaccard: float = 0.5, num_partitions: int | None = None):
-    """Exact n-gram Jaccard for candidate pairs via two hash joins back to text.
+    """Exact n-gram Jaccard for candidate pairs.
 
-    The pairs side is small (candidates), so the joins shuffle candidates +
-    the projected text column only.
+    Candidates are small relative to the corpus by construction (LSH output),
+    so the scalable shape is: collect the candidate id set, stream-scan the
+    docs table once to pull just those texts (a filter, not a shuffle),
+    broadcast the id→text map, and score pairs in parallel.  This avoids a
+    hash join whose sparse side would hash into mostly-empty partitions.
+    (``num_partitions`` is accepted for API stability; unused.)
     """
-    if num_partitions is None:
-        # Each hash-shuffle partition wants an aggregator actor; never ask for
-        # more than the cluster can host or the join stalls on placement.
-        import ray
+    import ray
+    import ray.data
 
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(16, cpus // 2))
-    docs = docs_ds.select_columns([id_col, text_col])
-    left = pairs_ds.join(docs.rename_columns({id_col: "a", text_col: "text_a"}),
-                         join_type="inner", num_partitions=num_partitions, on=("a",))
-    both = left.join(docs.rename_columns({id_col: "b", text_col: "text_b"}),
-                     join_type="inner", num_partitions=num_partitions, on=("b",))
+    pair_rows = pairs_ds.take_all()
+    if not pair_rows:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    wanted = {int(r["a"]) for r in pair_rows} | {int(r["b"]) for r in pair_rows}
+    wanted_ref = ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        keep = np.array([int(i) in ray.get(wanted_ref) for i in ids])
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(keep)),
+            text_col: batch.column(text_col).filter(pa.array(keep)),
+        })
+
+    picked = docs_ds.select_columns([id_col, text_col]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    text_map_ref = ray.put({int(r[id_col]): r[text_col] for r in picked})
+
+    cand = ray.data.from_arrow(pa.table({
+        "a": pa.array([int(r["a"]) for r in pair_rows], pa.int64()),
+        "b": pa.array([int(r["b"]) for r in pair_rows], pa.int64()),
+    }))
 
     def score(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_map_ref)
         ja = []
-        for ta, tb in zip(batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist()):
-            sa = set(_shingle_hashes(ta or "", width).tolist())
-            sb = set(_shingle_hashes(tb or "", width).tolist())
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            sa = set(_shingle_hashes(texts.get(a, "") or "", width).tolist())
+            sb = set(_shingle_hashes(texts.get(b, "") or "", width).tolist())
             union = len(sa | sb)
             ja.append(len(sa & sb) / union if union else 0.0)
-        out = batch.select(["a", "b"]).append_column("jaccard", pa.array(ja, pa.float64()))
+        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
         return out.filter(pa.compute.greater_equal(out.column("jaccard"), min_jaccard))
 
-    return both.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_keep_first(ds, *, id_col: str = "doc_id", content_col: str = "text",

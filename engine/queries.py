@@ -116,20 +116,29 @@ def stats_lineitem_quantity(sf_dir: str):
         col = batch.column("l_quantity")
         values = col.to_numpy(zero_copy_only=False)
         nulls = col.null_count
-        s.update(values[~np.isnan(values)] if nulls else values, nulls)
-        return pa.table({"state": pa.array([json.dumps(s.state())], pa.large_string())})
+        finite = values[~np.isnan(values)] if nulls else values
+        s.update(finite, nulls)
+        state = s.state()
+        # Exact integer sum alongside the float sketch: the oracle-compared
+        # average must be order-independent (the Welford mean's last-ulp error
+        # varies with block count and can flip a .00005 rounding boundary).
+        state["int_sum"] = int(finite.astype(np.int64).sum())
+        return pa.table({"state": pa.array([json.dumps(state)], pa.large_string())})
 
     rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
     merged = ColumnStats()
+    int_sum = 0
     for r in rows:
-        merged.merge(ColumnStats.from_state(json.loads(r["state"])))
+        state = json.loads(r["state"])
+        int_sum += state.pop("int_sum")
+        merged.merge(ColumnStats.from_state(state))
     m = merged.summary()
     return pa.table({
         "cnt": pa.array([m["count"]], pa.int64()),
         "nulls": pa.array([m["nulls"]], pa.int64()),
         "min_qty": pa.array([m["min"]]),
         "max_qty": pa.array([m["max"]]),
-        "avg_qty": pa.array([round(m["mean"], 4)]),
+        "avg_qty": pa.array([float(_half_away_round(int_sum / max(m["count"], 1), 4))]),
     })
 
 

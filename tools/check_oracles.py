@@ -45,8 +45,11 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True)
+        import os
+
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("ORACLE_CPUS", "8")),
+                 include_dashboard=False, ignore_reinit_error=True)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
