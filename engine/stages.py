@@ -578,93 +578,3 @@ def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
     return suspect_ds.union(dim_tagged).groupby("key").map_groups(
         orphan_groups, batch_format="pyarrow")
 
-
-def combine_partial_states(states: list[dict]) -> dict:
-    """Merge sketch partial states into one state of the same shape (the
-    associative kernel behind tree_merge_partials)."""
-    merged = merge_sketch_partials(states)
-    totals = merged["totals"]
-    return {
-        **totals,
-        "stats": {c: s.state() for c, s in merged["stats"].items()},
-        "digests": {c: d.state() for c, d in merged["digests"].items()},
-        "hll_clip_id": merged["hll"].state(),
-        "hists": {c: h.state() for c, h in merged["hists"].items()},
-    }
-
-
-def tree_merge_partials(partials_ds, *, fan_in: int = 64, driver_threshold: int = 256):
-    """Reduce a Dataset of sketch-partial rows with bounded driver intake.
-
-    Rounds of within-block merges (each block of <= fan_in rows collapses to
-    one) until at most ``driver_threshold`` rows remain, then a driver merge.
-    At 10^12-row scale the driver never sees more than threshold rows
-    (SCALE.md gap #1).  Returns the merged dict of live sketch objects.
-    """
-    def merge_block(batch: pa.Table) -> pa.Table:
-        states = [json.loads(s) for s in batch.column("partial").to_pylist()]
-        if not states:
-            return batch
-        return pa.table({"partial": pa.array([json.dumps(combine_partial_states(states))],
-                                             pa.large_string())})
-
-    count = partials_ds.count()
-    while count > driver_threshold:
-        n_blocks = max(1, -(-count // fan_in))
-        partials_ds = partials_ds.repartition(n_blocks).map_batches(
-            merge_block, batch_size=fan_in, batch_format="pyarrow", zero_copy_batch=True)
-        count = partials_ds.count()
-    return merge_sketch_partials([json.loads(r["partial"]) for r in partials_ds.take_all()])
-
-
-def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
-                        fp_rate: float = 1e-4, num_partitions: int | None = None):
-    """Scale-path referential check (SCALE.md gap #2): distributed Bloom
-    prefilter + exact LEFT ANTI semi-join of the suspects.
-
-    The dimension side is never broadcast as an exact set: per-batch partial
-    Bloom filters are OR-merged on the driver (size = one bitset, not one per
-    row), suspects are the rows failing the Bloom, and exactness comes from a
-    hash-shuffle anti-join of just the suspects against the dimension keys.
-    Returns a Dataset of orphan fact rows (fact_key column only).
-    """
-    import ray
-
-    from engine.checks.sketches import BloomFilter
-
-    dim_count = dim_ds.count()
-
-    def partial_bloom(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(max(dim_count, 1024), fp_rate)
-        bf.add(np.asarray(batch.column(dim_key).to_pylist(), dtype=object))
-        return pa.table({"state": pa.array([json.dumps(bf.state())], pa.large_string())})
-
-    bloom = None
-    for r in dim_ds.select_columns([dim_key]).map_batches(
-            partial_bloom, batch_format="pyarrow", zero_copy_batch=True).take_all():
-        part = BloomFilter.from_state(json.loads(r["state"]))
-        bloom = part if bloom is None else bloom.merge(part)
-    bloom_ref = ray.put(bloom.state() if bloom is not None else None)
-
-    def suspects(batch: pa.Table) -> pa.Table:
-        state = ray.get(bloom_ref)
-        keys = np.asarray(batch.column(fact_key).to_pylist(), dtype=object)
-        if state is None:
-            return pa.table({fact_key: batch.column(fact_key)})
-        bf = BloomFilter.from_state(state)
-        miss = ~bf.contains(keys)
-        return pa.table({fact_key: batch.column(fact_key).filter(pa.array(miss))})
-
-    suspect_ds = fact_ds.select_columns([fact_key]).map_batches(
-        suspects, batch_format="pyarrow", zero_copy_batch=True)
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(16, cpus // 2))
-    # Bloom negatives are already definite orphans, but the anti-join keeps the
-    # path fully exact even if the filter is misconfigured.
-    return suspect_ds.join(
-        dim_ds.select_columns([dim_key]),
-        join_type="left_anti", num_partitions=num_partitions,
-        on=(fact_key,), right_on=(dim_key,),
-    )

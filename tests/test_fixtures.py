@@ -185,3 +185,29 @@ def test_fk_orphans_semijoin(ray_session):
                      fk_orphans_semijoin(fact, dim, fact_key="speaker_id",
                                          dim_key="speaker_id").take_all())
     assert orphans == ["orphan-a", "orphan-b"]
+
+
+def test_fk_orphans_semijoin_sparse_many_blocks(ray_session):
+    """Regression for the 32-CPU 'No match for key field' crash: with many
+    tiny blocks most suspect batches are EMPTY; the semijoin must survive an
+    all-empty-block suspect side (ADVICE.md high, round 1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import fk_orphans_semijoin
+
+    dim = ray.data.from_arrow(pa.table({"k": pa.array(
+        [f"d-{i:03d}" for i in range(200)], pa.string())})).repartition(32)
+    # One orphan in 3000 fact rows sliced into 64 blocks -> ~63 empty
+    # suspect batches after the Bloom prefilter.
+    fact_keys = [f"d-{i % 200:03d}" for i in range(3000)] + ["lonely"]
+    fact = ray.data.from_arrow(
+        pa.table({"k": pa.array(fact_keys, pa.string())})).repartition(64)
+    got = sorted(r["k"] for r in fk_orphans_semijoin(
+        fact, dim, fact_key="k", dim_key="k").take_all())
+    assert got == ["lonely"]
+
+    # Zero-orphan case: output must be empty, not an error.
+    clean = ray.data.from_arrow(pa.table({"k": pa.array(
+        [f"d-{i % 200:03d}" for i in range(1000)], pa.string())})).repartition(48)
+    assert fk_orphans_semijoin(clean, dim, fact_key="k", dim_key="k").count() == 0
