@@ -10,8 +10,13 @@ scored.
 
 from __future__ import annotations
 
+import functools
+import logging
+
 import numpy as np
 import pyarrow as pa
+
+log = logging.getLogger("engine.similarity")
 
 
 def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -56,7 +61,11 @@ def knn_brute_force(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
     return candidates.sort("sim", descending=True).limit(k)
 
 
+@functools.lru_cache(maxsize=8)
 def _hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    """Deterministic hyperplane matrix, cached per worker process so batch
+    callables never regenerate it (round-1 VERDICT finding 6).  Callers must
+    treat the returned array as read-only."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_bits)).astype(np.float32)
 
@@ -67,27 +76,34 @@ def _signs_to_key(signs: np.ndarray) -> np.ndarray:
 
 
 def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
-            col: str = "embedding", n_bits: int = 12, max_hamming: int = 2,
-            keep_all_candidates: bool = False):
-    """Approximate top-k: score only rows whose hyperplane bucket is within
-    ``max_hamming`` bits of the query's bucket (candidate pruning per batch,
-    no shuffle at all — the planes are broadcast with the closure)."""
+            col: str = "embedding", n_bits: int = 12, max_hamming: int = 3,
+            n_tables: int = 12, keep_all_candidates: bool = False):
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: a row is a candidate
+    if ANY of the ``n_tables`` independent ``n_bits``-bit signatures is within
+    ``max_hamming`` bits of the query's (candidate pruning per batch, no
+    shuffle at all — the planes are broadcast with the closure).
+
+    Multi-table is what makes the recall gate (tests/test_recall.py: >=0.9 of
+    brute-force top-10) hold even on near-isotropic corpora where a single
+    table's per-bit disagreement probability approaches 1/2; on such corpora
+    the candidate fraction degrades toward ~0.5 — LSH buys its speedup from
+    cluster structure, and the defaults (12x12 bits, radius 3) are chosen for
+    recall first.
+    """
     q = np.asarray(query_vec, dtype=np.float32)
     qn = q / (np.linalg.norm(q) + 1e-30)
-    planes = _hyperplanes(q.size, n_bits)
-    q_key = int(_signs_to_key((qn @ planes > 0)[None, :])[0])
+    planes = _hyperplanes(q.size, n_tables * n_bits)
+    q_bits = (qn @ planes > 0)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch, col)
         if mat.shape[0] == 0:
             return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
                              "sim": pa.array([], pa.float64())})
-        keys = _signs_to_key(mat @ planes > 0)
-        x = (keys.astype(np.uint64)) ^ np.uint64(q_key)
-        ham = np.zeros(x.size, dtype=np.int64)
-        for shift in range(n_bits):
-            ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
-        cand = np.nonzero(ham <= max_hamming)[0]
+        bits = mat @ planes > 0                               # (n, L*b)
+        diff = (bits != q_bits[None, :]).reshape(mat.shape[0], n_tables, n_bits)
+        best_ham = diff.sum(axis=2).min(axis=1)               # min over tables
+        cand = np.nonzero(best_ham <= max_hamming)[0]
         if cand.size == 0:
             return pa.table({id_col: pa.array([], batch.column(id_col).type),
                              "sim": pa.array([], pa.float64())})
@@ -144,6 +160,8 @@ def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id"
         order = np.argsort(ids, kind="mergesort")
         ids, unit = ids[order], unit[order]
         if n > cap:
+            log.warning("cosine near-dup hot bucket truncated: %d rows > cap=%d "
+                        "(bucket=%s)", n, cap, group.column("bucket")[0])
             ids, unit = ids[:cap], unit[:cap]
             n = cap
         sims = unit @ unit.T

@@ -1,0 +1,161 @@
+"""Recall gates for the approximate near-dup / ANN family (round-1 VERDICT
+item 1c): each approximate operator is measured against an in-repo exact
+ground truth, so its correctness no longer rests only on its own unit tests.
+
+Ground truths:
+  minhash-LSH candidates  vs  exact word-3-shingle Jaccard (all pairs)
+  simhash banded pairs    vs  brute-force Hamming over full simhashes
+  knn_lsh top-k           vs  knn_brute_force top-k (same query vector)
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _word_shingles(text: str, width: int = 3) -> frozenset:
+    words = (text or "").split()
+    if len(words) < width:
+        return frozenset([" ".join(words)]) if words else frozenset([""])
+    return frozenset(" ".join(words[i:i + width]) for i in range(len(words) - width + 1))
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def true_jaccard_pairs(docs_table):
+    """All pairs with exact word-3-shingle Jaccard >= 0.7 (brute force)."""
+    ids = docs_table.column("doc_id").to_numpy()
+    sets = [_word_shingles(t) for t in docs_table.column("text").to_pylist()]
+    out = set()
+    for i in range(len(sets)):
+        si = sets[i]
+        for j in range(i + 1, len(sets)):
+            inter = len(si & sets[j])
+            if not inter:
+                continue
+            union = len(si) + len(sets[j]) - inter
+            if inter / union >= 0.7:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_minhash_candidate_recall(ray_session, true_jaccard_pairs):
+    """LSH candidates must recover >=90% of true >=0.7-Jaccard pairs.
+
+    With k=64, bands=16 (r=4) the theoretical candidate probability at
+    j=0.7 is 1-(1-0.7^4)^16 ≈ 0.99, so 0.9 leaves real margin."""
+    import ray.data
+
+    from engine.ops.dedup import minhash_lsh_pairs
+
+    assert len(true_jaccard_pairs) >= 10, "corpus should contain planted near-dups"
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"]))
+           for r in minhash_lsh_pairs(docs, min_est_jaccard=0.5).take_all()}
+    hit = len(true_jaccard_pairs & got)
+    recall = hit / len(true_jaccard_pairs)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} ({hit}/{len(true_jaccard_pairs)})"
+
+
+def test_simhash_banding_recall(ray_session, docs_table):
+    """4 x 16-bit banding is pigeonhole-complete for hamming<=3: every
+    brute-force pair must appear in the banded output (recall == 1.0)."""
+    import ray.data
+
+    from engine.ops.dedup import SimHashStage, simhash_pairs
+
+    hashed = SimHashStage()(docs_table)
+    h = hashed.column("simhash").to_numpy().astype(np.uint64)
+    ids = hashed.column("doc_id").to_numpy()
+    ai, bi = np.triu_indices(h.size, k=1)
+    x = h[ai] ^ h[bi]
+    ham = np.zeros(x.size, dtype=np.int64)
+    for shift in range(64):
+        ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+    keep = ham <= 3
+    truth = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
+             for a, b in zip(ai[keep], bi[keep])}
+    assert truth, "corpus should contain simhash near-dups"
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"]))
+           for r in simhash_pairs(docs, max_hamming=3).take_all()}
+    missed = truth - got
+    assert not missed, f"banding missed {len(missed)}/{len(truth)} pairs: {sorted(missed)[:5]}"
+
+
+def test_knn_lsh_recall(ray_session):
+    """knn_lsh top-10 must recover >=9 of the exact cosine top-10 ids."""
+    import ray.data
+
+    from engine.ops.similarity import knn_brute_force, knn_lsh
+    from engine.queries import _query_vector
+
+    q = _query_vector(SF_DIR)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = [r["vec_id"] for r in knn_brute_force(emb, q, k=10).take_all()]
+    approx = [r["vec_id"] for r in knn_lsh(emb, q, k=10, max_hamming=3).take_all()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"knn_lsh recall {recall:.2f}: exact={exact} approx={approx}"
+
+
+def test_jaccard_verify_join_path_matches_broadcast(ray_session):
+    """The size-gated join fallback must score identically to the broadcast
+    path (forced by max_broadcast_ids=1)."""
+    import ray.data
+
+    from engine.ops.dedup import jaccard_verify, minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.4).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow", zero_copy_batch=True)
+
+    def rows(ds):
+        return sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in ds.take_all())
+
+    broadcast = rows(jaccard_verify(cand, docs, min_jaccard=0.5))
+    joined = rows(jaccard_verify(cand, docs, min_jaccard=0.5, max_broadcast_ids=1))
+    assert broadcast and broadcast == joined
+
+
+def test_jaccard_verify_survives_empty_batches(ray_session):
+    """Round-1 ADVICE medium: the doc-pick filter crashed on an empty batch
+    (float64 mask).  High-parallelism = many empty blocks; must be safe."""
+    import ray.data
+
+    from engine.ops.dedup import jaccard_verify
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([70], pa.int64()), "b": pa.array([447], pa.int64())}))
+    out = jaccard_verify(pairs, docs, min_jaccard=0.5).take_all()
+    assert len(out) == 1 and out[0]["jaccard"] > 0.9
+
+
+def test_bucket_cap_truncation_is_logged(caplog):
+    """Hot-bucket truncation must emit a WARNING (round-1 silent-cap fix)."""
+    import logging
+
+    from engine.ops.dedup import bucket_candidate_pairs
+
+    n, k = 10, 8
+    sigs = np.zeros((n, k), dtype=np.int64)
+    group = pa.table({
+        "band": pa.array(np.zeros(n, dtype=np.int32)),
+        "band_key": pa.array(np.zeros(n, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "sig": pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1)), k),
+    })
+    with caplog.at_level(logging.WARNING, logger="engine.dedup"):
+        out = bucket_candidate_pairs(group, cap=4)
+    assert any("truncated" in r.message for r in caplog.records)
+    # 4 capped ids -> C(4,2)=6 pairs of identical signatures
+    assert out.num_rows == 6
