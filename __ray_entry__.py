@@ -163,10 +163,16 @@ def _hll_distinct_users(sf_dir: str):
         h.update(batch.column("user_id").to_numpy())
         return pa.table({"state": pa.array([json.dumps(h.state())], pa.large_string())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    merged = HyperLogLog()
-    for r in rows:
-        merged.merge(HyperLogLog.from_state(json.loads(r["state"])))
+    def combine(states: list[dict]) -> dict:
+        merged = HyperLogLog()
+        for st in states:
+            merged.merge(HyperLogLog.from_state(st))
+        return merged.state()
+
+    from engine.stages import tree_reduce_states
+    state = tree_reduce_states(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), combine)
+    merged = HyperLogLog.from_state(state) if state else HyperLogLog()
     return pa.table({"n_users_approx": pa.array([int(round(merged.estimate()))], pa.int64())})
 
 
@@ -182,10 +188,16 @@ def _tdigest_quantity(sf_dir: str):
         t.update(batch.column("l_quantity").to_numpy())
         return pa.table({"state": pa.array([json.dumps(t.state())], pa.large_string())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    merged = TDigest()
-    for r in rows:
-        merged.merge(TDigest.from_state(json.loads(r["state"])))
+    def combine(states: list[dict]) -> dict:
+        merged = TDigest()
+        for st in states:
+            merged.merge(TDigest.from_state(st))
+        return merged.state()
+
+    from engine.stages import tree_reduce_states
+    state = tree_reduce_states(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), combine)
+    merged = TDigest.from_state(state) if state else TDigest()
     return pa.table({
         "p50": pa.array([round(merged.quantile(0.5), 2)]),
         "p95": pa.array([round(merged.quantile(0.95), 2)]),

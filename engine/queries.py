@@ -125,13 +125,22 @@ def stats_lineitem_quantity(sf_dir: str):
         state["int_sum"] = int(finite.astype(np.int64).sum())
         return pa.table({"state": pa.array([json.dumps(state)], pa.large_string())})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    merged = ColumnStats()
-    int_sum = 0
-    for r in rows:
-        state = json.loads(r["state"])
-        int_sum += state.pop("int_sum")
-        merged.merge(ColumnStats.from_state(state))
+    def combine(states: list[dict]) -> dict:
+        merged = ColumnStats()
+        int_sum = 0
+        for st in states:
+            st = dict(st)
+            int_sum += st.pop("int_sum")
+            merged.merge(ColumnStats.from_state(st))
+        out = merged.state()
+        out["int_sum"] = int_sum
+        return out
+
+    from engine.stages import tree_reduce_states
+    state = tree_reduce_states(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), combine)
+    int_sum = state.pop("int_sum")
+    merged = ColumnStats.from_state(state)
     m = merged.summary()
     return pa.table({
         "cnt": pa.array([m["count"]], pa.int64()),

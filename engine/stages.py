@@ -514,6 +514,43 @@ def tree_merge_partials(partials_ds, *, fan_in: int = 64, driver_threshold: int 
     return merge_sketch_partials([json.loads(r["partial"]) for r in partials_ds.take_all()])
 
 
+def tree_reduce_states(states_ds, combine, *, state_col: str = "state",
+                       fan_in: int = 64, driver_threshold: int = 256,
+                       telemetry: dict | None = None):
+    """Generic bounded-driver tree reduction for any associative JSON sketch.
+
+    ``states_ds`` holds one JSON-encoded state per row in ``state_col``;
+    ``combine(list[dict]) -> dict`` is the associative merge.  Rounds of
+    within-block merges (each block of <= fan_in rows collapses to one) run
+    in workers until at most ``driver_threshold`` rows remain; only then does
+    the driver take_all — at 10^12-row scale the driver intake is bounded by
+    the threshold, never the block count (round-1 VERDICT finding 3).
+
+    Returns the final merged state dict (None for an empty input).
+    ``telemetry`` (tests) receives {"rounds": int, "driver_rows": int}.
+    """
+    def merge_block(batch: pa.Table) -> pa.Table:
+        states = [json.loads(s) for s in batch.column(state_col).to_pylist()]
+        if not states:
+            return batch
+        return pa.table({state_col: pa.array([json.dumps(combine(states))],
+                                             pa.large_string())})
+
+    rounds = 0
+    count = states_ds.count()
+    while count > driver_threshold:
+        n_blocks = max(1, -(-count // fan_in))
+        states_ds = states_ds.repartition(n_blocks).map_batches(
+            merge_block, batch_size=fan_in, batch_format="pyarrow", zero_copy_batch=True)
+        count = states_ds.count()
+        rounds += 1
+    final = [json.loads(r[state_col]) for r in states_ds.take_all()]
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+        telemetry["driver_rows"] = len(final)
+    return combine(final) if final else None
+
+
 def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
                         fp_rate: float = 1e-4, num_partitions: int | None = None):
     """Scale-path referential check (SCALE.md gap #2): distributed Bloom

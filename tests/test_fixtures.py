@@ -171,6 +171,37 @@ def test_tree_merge_partials_matches_flat_merge(ray_session):
         assert (tree["hists"][col].counts == flat["hists"][col].counts).all()
 
 
+def test_tree_reduce_states_bounds_driver_intake(ray_session):
+    """Round-1 VERDICT finding 3: sketch reduction must never hand the driver
+    one row per block.  1000 partials with fan_in=8/threshold=16 must reach
+    the driver as <=16 rows and still combine to the exact flat-merge value."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import tree_reduce_states
+
+    states = [{"n": i, "mx": i % 37} for i in range(1000)]
+    ds = ray.data.from_arrow(pa.table({
+        "state": pa.array([_json.dumps(s) for s in states], pa.large_string())
+    })).repartition(100)
+
+    def combine(sts):
+        return {"n": sum(s["n"] for s in sts), "mx": max(s["mx"] for s in sts)}
+
+    telemetry = {}
+    got = tree_reduce_states(ds, combine, fan_in=8, driver_threshold=16,
+                             telemetry=telemetry)
+    assert got == {"n": sum(range(1000)), "mx": 36}
+    assert telemetry["driver_rows"] <= 16
+    assert telemetry["rounds"] >= 2
+
+    # Empty input must be a clean None, not a crash.
+    empty = ray.data.from_arrow(pa.table({"state": pa.array([], pa.large_string())}))
+    assert tree_reduce_states(empty, combine) is None
+
+
 def test_fk_orphans_semijoin(ray_session):
     import pyarrow as pa
     import ray.data
