@@ -294,30 +294,83 @@ WHERE c_custkey IS NULL ORDER BY o_orderkey
 """
 
 
+# Above this many dimension rows, a broadcast lookup stops being "small" and
+# the query falls through to a partitioned hash join (round-1 VERDICT
+# finding 4: the gate must be enforced in code, not prose).
+DIM_BROADCAST_MAX_ROWS = 8_000_000
+
+
+def _segment_lookup(cust_ds):
+    """Compact c_custkey→segment broadcast state: sorted int64 keys, int8
+    dictionary codes, and the unique segment strings — ~9 bytes/row instead
+    of a Python dict's ~100."""
+    import pandas as pd
+
+    parts = list(cust_ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    t = pa.concat_tables(parts)
+    codes, uniques = pd.factorize(t.column("c_mktsegment").to_pandas())
+    keys = t.column("c_custkey").to_numpy()
+    order = np.argsort(keys, kind="mergesort")
+    return keys[order], codes[order].astype(np.int8), [str(u) for u in uniques]
+
+
+def _lookup_codes(keys_sorted: np.ndarray, codes: np.ndarray, q: np.ndarray):
+    """Vectorized searchsorted lookup; returns (code_per_query, found_mask)."""
+    if keys_sorted.size == 0:
+        return np.empty(q.size, dtype=codes.dtype), np.zeros(q.size, dtype=bool)
+    idx = np.clip(np.searchsorted(keys_sorted, q), 0, keys_sorted.size - 1)
+    found = keys_sorted[idx] == q
+    return codes[idx], found
+
+
 def orders_per_segment(sf_dir: str):
-    """Broadcast hash join (small dimension shipped once via ray.put)."""
+    """Dimension join, size-gated: broadcast the customer→segment lookup when
+    it is genuinely small (sorted-array + dict-codes, shipped once via
+    ray.put), else a partitioned hash join sized by ``shuffle_partitions``."""
     import ray
 
+    from engine.stages import shuffle_partitions
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    mapping: dict[int, str] = {}
-    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
-        mapping.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
-    map_ref = ray.put(mapping)
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
-    def tag(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    if cust.count() <= DIM_BROADCAST_MAX_ROWS:
+        keys, codes, uniques = _segment_lookup(cust)
+        lut_ref = ray.put((keys, codes))
 
-        m = ray.get(map_ref)
-        seg = pd.Series(batch.column("o_custkey").to_numpy()).map(m)
-        df = pd.DataFrame({"c_mktsegment": seg})
-        g = df.groupby("c_mktsegment", as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        def tag(batch: pa.Table) -> pa.Table:
+            keys_s, codes_s = ray.get(lut_ref)
+            code, found = _lookup_codes(
+                keys_s, codes_s, batch.column("o_custkey").to_numpy())
+            counts = np.bincount(code[found], minlength=len(uniques))
+            return pa.table({
+                "c_mktsegment": pa.array(uniques, pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            })
 
-    return _read(sf_dir, "orders", columns=["o_custkey"]) \
-        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("c_mktsegment").sum("n") \
-        .map_batches(lambda t: t.rename_columns(["c_mktsegment", "order_cnt"]),
-                     batch_format="pyarrow", zero_copy_batch=True) \
+        tagged = orders.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        joined = orders.join(
+            cust, join_type="inner",
+            num_partitions=shuffle_partitions(orders.count()),
+            on=("o_custkey",), right_on=("c_custkey",))
+
+        def partial_counts(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            g = pd.DataFrame({"c_mktsegment": batch.column("c_mktsegment").to_pandas()}) \
+                .groupby("c_mktsegment", as_index=False).size().rename(columns={"size": "n"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        tagged = joined.map_batches(partial_counts, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["c_mktsegment", "order_cnt"])
+        return t.filter(pc.greater(t.column("order_cnt"), 0))
+
+    return tagged.groupby("c_mktsegment").sum("n") \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
         .sort("c_mktsegment")
 
 
@@ -573,31 +626,48 @@ def revenue_by_segment_day(sf_dir: str):
                 * (1.0 - batch.column("l_discount").to_numpy()))),
         })
 
+    from engine.stages import shuffle_partitions
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    seg_map: dict[int, str] = {}
-    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
-        seg_map.update(zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist()))
-    seg_ref = ray.put(seg_map)
 
-    def order_tag(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    if cust.count() <= DIM_BROADCAST_MAX_ROWS:
+        keys, codes, uniques = _segment_lookup(cust)
+        lut_ref = ray.put((keys, codes))
+        uniq_arr = pa.array(uniques, pa.string())
 
-        m = ray.get(seg_ref)
-        seg = pd.Series(batch.column("o_custkey").to_numpy()).map(m)
-        keep = seg.notna().to_numpy()
-        months = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
-        # Inner-join semantics: drop orders with no matching customer.
-        return pa.table({
-            "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
-            "segment": pa.array(seg[keep].tolist(), pa.string()),
-            "month": months.filter(pa.array(keep)) if isinstance(months, pa.ChunkedArray) else pa.array(np.asarray(months)[keep]),
-        })
+        def order_tag(batch: pa.Table) -> pa.Table:
+            keys_s, codes_s = ray.get(lut_ref)
+            code, found = _lookup_codes(
+                keys_s, codes_s, batch.column("o_custkey").to_numpy())
+            months = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+            keep = pa.array(found)
+            # Inner-join semantics: drop orders with no matching customer.
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey").filter(keep),
+                "segment": uniq_arr.take(pa.array(code[found].astype(np.int32))),
+                "month": (months.filter(keep) if isinstance(months, pa.ChunkedArray)
+                          else months.filter(keep)),
+            })
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    n_parts = max(2, min(16, cpus // 2))
+        tagged_orders = orders.map_batches(order_tag, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    else:
+        # Dimension too large to broadcast: partitioned hash join instead.
+        joined_orders = orders.join(
+            cust, join_type="inner",
+            num_partitions=shuffle_partitions(orders.count()),
+            on=("o_custkey",), right_on=("c_custkey",))
+        tagged_orders = joined_orders.map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "segment": t.column("c_mktsegment"),
+                "month": pc.strftime(t.column("o_orderdate"), format="%Y-%m"),
+            }), batch_format="pyarrow", zero_copy_batch=True)
+
     joined = line.map_batches(line_partial, batch_format="pyarrow", zero_copy_batch=True).join(
-        orders.map_batches(order_tag, batch_format="pyarrow", zero_copy_batch=True),
-        join_type="inner", num_partitions=n_parts, on=("o_orderkey",),
+        tagged_orders,
+        join_type="inner", num_partitions=shuffle_partitions(line.count()),
+        on=("o_orderkey",),
     )
 
     def agg_partial(batch: pa.Table) -> pa.Table:

@@ -551,6 +551,55 @@ def tree_reduce_states(states_ds, combine, *, state_col: str = "state",
     return combine(final) if final else None
 
 
+def shuffle_partitions(n_rows: int, *, rows_per_partition: int = 2_000_000,
+                       cpus: int | None = None) -> int:
+    """Input-size-derived shuffle width (round-1 VERDICT finding: a hard
+    ``min(16, cpus//2)`` cap is wrong on a cluster).
+
+    Enough partitions that each holds ~``rows_per_partition`` rows, at least
+    ``cpus // 2`` for parallelism, capped at ``cpus`` — Ray's hash-join
+    aggregator pool stalls when num_partitions exceeds available CPUs
+    (observed round 1 on this VM).  On a multi-node cluster
+    ``ray.cluster_resources()`` reports cluster-wide CPUs, so the width grows
+    with the cluster, and the rows-based floor grows with the data.
+    """
+    import ray
+
+    if cpus is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    need = -(-n_rows // rows_per_partition) if n_rows > 0 else 1
+    return max(2, min(max(need, cpus // 2), cpus))
+
+
+class BroadcastMap:
+    """Compact broadcast lookup for dimension joins: parallel sorted-key /
+    value numpy arrays instead of a Python dict (~10x smaller for int keys —
+    round-1 VERDICT finding 4).  Lookup is a vectorized searchsorted."""
+
+    def __init__(self, keys: np.ndarray, values: np.ndarray) -> None:
+        order = np.argsort(keys, kind="mergesort")
+        self.keys = np.ascontiguousarray(keys[order])
+        self.values = np.ascontiguousarray(values[order])
+
+    @classmethod
+    def from_dataset(cls, ds, key_col: str, val_col: str) -> "BroadcastMap":
+        parts = list(ds.select_columns([key_col, val_col]).iter_batches(
+            batch_format="pyarrow", batch_size=65536))
+        t = pa.concat_tables(parts) if parts else pa.table(
+            {key_col: pa.array([], pa.int64()), val_col: pa.array([], pa.string())})
+        return cls(t.column(key_col).to_numpy(zero_copy_only=False),
+                   t.column(val_col).to_numpy(zero_copy_only=False))
+
+    def lookup(self, queries: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (values, found_mask); values at missing keys are arbitrary."""
+        if self.keys.size == 0:
+            return np.empty(queries.size, dtype=self.values.dtype), \
+                np.zeros(queries.size, dtype=bool)
+        idx = np.clip(np.searchsorted(self.keys, queries), 0, self.keys.size - 1)
+        found = self.keys[idx] == queries
+        return self.values[idx], found
+
+
 def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
                         fp_rate: float = 1e-4, num_partitions: int | None = None):
     """Scale-path referential check (SCALE.md gap #2): distributed Bloom

@@ -68,3 +68,35 @@ def test_tdigest_close_to_exact(ray_session, oracle_con):
     got = entrymod.queries()["tdigest_quantity"](SF_DIR).to_pandas()
     true_p50 = oracle_con.sql("SELECT quantile_cont(l_quantity, 0.5) FROM lineitem").fetchone()[0]
     assert abs(got["p50"][0] - true_p50) <= 1.0
+
+
+def test_dim_join_gate_paths_agree(ray_session, monkeypatch):
+    """Round-1 VERDICT finding 4: the broadcast-vs-join gate must be enforced
+    in code.  Forcing the gate to 0 rows flips both segment queries onto the
+    hash-join path; results must match the broadcast path exactly."""
+    from engine import queries as q
+    from tools.check_oracles import canonical_hash, to_pandas
+
+    def run_both(fn):
+        broadcast = to_pandas(fn(SF_DIR))
+        monkeypatch.setattr(q, "DIM_BROADCAST_MAX_ROWS", 0)
+        joined = to_pandas(fn(SF_DIR))
+        monkeypatch.undo()
+        return broadcast, joined
+
+    for fn in (q.orders_per_segment, q.revenue_by_segment_day):
+        b, j = run_both(fn)
+        assert len(b) == len(j) > 0
+        assert canonical_hash(b) == canonical_hash(j)
+
+
+def test_shuffle_partitions_scales_with_input():
+    from engine.stages import shuffle_partitions
+
+    # Small input on a big cluster: parallelism floor, capped at cpus.
+    assert shuffle_partitions(1_000, cpus=32) == 16
+    # Big input: rows-derived need, still capped at cpus.
+    assert shuffle_partitions(500_000_000, cpus=32) == 32
+    # Scale-up: same data, 4x cluster -> wider shuffle.
+    assert shuffle_partitions(500_000_000, cpus=256) == 250
+    assert shuffle_partitions(0, cpus=8) == 4
