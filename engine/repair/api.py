@@ -12,11 +12,80 @@ import argparse
 import json
 import sys
 from pathlib import Path
-from typing import Any
+from typing import Any, Literal, TextIO, overload
 
+from .common import JSONReturnType
 from .core import RepairParser
 from .filebuf import FileBuffer
 from .schema import SchemaFixer, load_schema_model, normalize_mode, schema_from_input
+
+
+# Overload set mirrors the reference facade exactly
+# (reference json_repair.py:36-98) so a caller migrating from the reference
+# keeps the same static inference: default flags -> str, return_objects=True
+# -> JSONReturnType, logging=True -> (value, repair_log) tuple.
+@overload
+def repair_json(
+    json_str: str = "",
+    return_objects: Literal[False] = False,
+    skip_json_loads: bool = False,
+    logging: Literal[False] = False,
+    json_fd: TextIO | None = None,
+    chunk_length: int = 0,
+    stream_stable: bool = False,
+    strict: bool = False,
+    schema: Any | None = None,
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+    **json_dumps_args: Any,
+) -> str: ...
+
+
+@overload
+def repair_json(
+    json_str: str = "",
+    return_objects: Literal[True] = True,
+    skip_json_loads: bool = False,
+    logging: Literal[False] = False,
+    json_fd: TextIO | None = None,
+    chunk_length: int = 0,
+    stream_stable: bool = False,
+    strict: bool = False,
+    schema: Any | None = None,
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+    **json_dumps_args: Any,
+) -> JSONReturnType: ...
+
+
+@overload
+def repair_json(
+    json_str: str = "",
+    return_objects: bool = False,
+    skip_json_loads: bool = False,
+    logging: Literal[True] = True,
+    json_fd: TextIO | None = None,
+    chunk_length: int = 0,
+    stream_stable: bool = False,
+    strict: bool = False,
+    schema: Any | None = None,
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+    **json_dumps_args: Any,
+) -> tuple[JSONReturnType, list[dict[str, str]]]: ...
+
+
+@overload
+def repair_json(
+    json_str: str = "",
+    return_objects: bool = False,
+    skip_json_loads: bool = False,
+    logging: bool = False,
+    json_fd: TextIO | None = None,
+    chunk_length: int = 0,
+    stream_stable: bool = False,
+    strict: bool = False,
+    schema: Any | None = None,
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+    **json_dumps_args: Any,
+) -> str | JSONReturnType | tuple[JSONReturnType, list[dict[str, str]]]: ...
 
 
 def repair_json(
@@ -24,14 +93,14 @@ def repair_json(
     return_objects: bool = False,
     skip_json_loads: bool = False,
     logging: bool = False,
-    json_fd=None,
+    json_fd: TextIO | None = None,
     chunk_length: int = 0,
     stream_stable: bool = False,
     strict: bool = False,
     schema: Any | None = None,
-    schema_repair_mode: str = "standard",
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
     **json_dumps_args: Any,
-):
+) -> JSONReturnType | tuple[JSONReturnType, list[dict[str, str]]]:
     """Decode ``json_str`` (or ``json_fd``), repairing it when invalid.
 
     Returns the repaired JSON string, or the decoded object when
@@ -131,8 +200,8 @@ def loads(
     stream_stable: bool = False,
     strict: bool = False,
     schema: Any | None = None,
-    schema_repair_mode: str = "standard",
-):
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+) -> JSONReturnType | tuple[JSONReturnType, list[dict[str, str]]] | str:
     """``json.loads`` drop-in that repairs invalid input."""
     return repair_json(
         json_str=json_str,
@@ -147,14 +216,14 @@ def loads(
 
 
 def load(
-    fd,
+    fd: TextIO,
     skip_json_loads: bool = False,
     logging: bool = False,
     chunk_length: int = 0,
     strict: bool = False,
     schema: Any | None = None,
-    schema_repair_mode: str = "standard",
-):
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+) -> JSONReturnType | tuple[JSONReturnType, list[dict[str, str]]]:
     """``json.load`` drop-in; repairs from the fd's current position."""
     return repair_json(
         json_fd=fd,
@@ -169,14 +238,14 @@ def load(
 
 
 def from_file(
-    filename,
+    filename: str | Path,
     skip_json_loads: bool = False,
     logging: bool = False,
     chunk_length: int = 0,
     strict: bool = False,
     schema: Any | None = None,
-    schema_repair_mode: str = "standard",
-):
+    schema_repair_mode: Literal["standard", "salvage"] = "standard",
+) -> JSONReturnType | tuple[JSONReturnType, list[dict[str, str]]]:
     """Filename convenience wrapper over :func:`load`."""
     with Path(filename).open() as fd:
         return load(

@@ -4,6 +4,10 @@ from __future__ import annotations
 
 from typing import Any
 
+# Public alias for everything the repair API can return as a decoded value
+# (reference utils/constants.py:7).
+JSONReturnType = dict[str, Any] | list[Any] | str | float | int | bool | None
+
 # The reference treats smart quotes as first-class delimiters (constants.py:15).
 QUOTES: tuple[str, ...] = ('"', "'", "“", "”")
 

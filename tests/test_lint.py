@@ -29,6 +29,13 @@ def test_no_duplicate_toplevel_defs():
         seen: dict[str, int] = {}
         for node in tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                # typing.overload stubs legitimately precede the implementation.
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and any(
+                        (isinstance(d, ast.Name) and d.id == "overload")
+                        or (isinstance(d, ast.Attribute) and d.attr == "overload")
+                        for d in node.decorator_list):
+                    seen.pop(node.name, None)
+                    continue
                 if node.name in seen:
                     offenders.append(f"{path}:{node.lineno} redefines {node.name} "
                                      f"(first at :{seen[node.name]})")
@@ -59,3 +66,35 @@ def test_no_duplicate_methods():
                             f"{item.name} (first at :{seen[item.name]})")
                     seen[item.name] = item.lineno
     assert not offenders, "\n".join(offenders)
+
+
+def test_typed_api_contract():
+    """The reference guarantees overload inference for repair_json
+    (reference tests/test_type_inference.py; mypy is absent in this container
+    so the contract is gated at runtime via typing.get_overloads): default
+    flags -> str, return_objects=True -> JSONReturnType, logging=True ->
+    (value, log) tuple.  py.typed markers must ship with the package."""
+    import inspect
+    import typing
+
+    from engine.repair.api import repair_json
+
+    ovs = typing.get_overloads(repair_json)
+    assert len(ovs) == 4
+    shapes = []
+    for f in ovs:
+        sig = inspect.signature(f)
+        shapes.append((str(sig.parameters["return_objects"].annotation),
+                       str(sig.parameters["logging"].annotation),
+                       str(sig.return_annotation)))
+    assert ("Literal[False]", "Literal[False]", "str") in shapes
+    assert ("Literal[True]", "Literal[False]", "JSONReturnType") in shapes
+    assert ("bool", "Literal[True]",
+            "tuple[JSONReturnType, list[dict[str, str]]]") in shapes
+
+    for marker in (ROOT / "engine" / "py.typed",
+                   ROOT / "engine" / "repair" / "py.typed",
+                   ROOT / "tools" / "refshim" / "src" / "json_repair" / "py.typed"):
+        assert marker.exists(), f"missing {marker}"
+
+    from engine.repair import JSONReturnType  # public export  # noqa: F401

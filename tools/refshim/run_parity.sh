@@ -3,8 +3,10 @@
 #
 # Excluded files test reference-internal plumbing with no public contract:
 #     (tests/utils/ white-box files ARE included via shim compat surface)
-#   - tests/test_type_inference.py            (mypy overload inference of the reference package)
 #   - tests/profiler.py                      (not a test)
+# tests/test_type_inference.py IS included: it importorskips mypy (absent in
+# this container, so it records skips here); the same overload contract is
+# gated at runtime by tests/test_lint.py::test_typed_api_contract.
 # Included additionally:
 #   - tests/test_docs_app_schema.py (reference Flask demo app run against this
 #     engine; one test deselected — it fails against the REFERENCE too in this
@@ -29,6 +31,7 @@ for f in test_json_repair.py test_parse_array.py test_parse_comment.py \
          test_repair_json_cli.py test_repair_json_from_file.py \
          test_schema_guided_parse.py test_schema_parser_paths.py \
          test_schema_repairer.py test_strict_mode.py test_docs_app_schema.py \
+         test_type_inference.py \
          valid.json invalid.json __init__.py; do
   cp "$REF/tests/$f" "$WORK/tests/$f"
 done
