@@ -223,6 +223,33 @@ def _audio_features(sf_dir: str):
 
 
 
+def _image_metadata(sf_dir: str):
+    """Synthesized mixed-format image corpus → real decode metadata
+    (pure-numpy PPM/PGM/BMP/TGA codecs; 'unknown' rows take the fallback)."""
+    import ray.data
+
+    from engine.data.clips import clips_count_for_sf_dir
+    from engine.data.images import synth_image_batch
+    from engine.ops.multimodal import ImageDecodeStage
+
+    n = min(clips_count_for_sf_dir(sf_dir), 5_000)
+    ds = ray.data.range(n).map_batches(synth_image_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: pa.table({
+            "img_id": t.column("img_id"),
+            "img_format": t.column("img_format"),
+            "width": t.column("width"),
+            "height": t.column("height"),
+            "mode": t.column("mode"),
+            "mean_lum": pa.array(np.round(
+                t.column("mean_lum").to_numpy(zero_copy_only=False), 3)),
+            "decode_ok": t.column("decode_ok"),
+        }), batch_format="pyarrow", zero_copy_batch=True).sort("img_id")
+
+
 def _codec_duration_quantiles(sf_dir: str):
     from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
     from engine.stages import salted_group_digests
@@ -269,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct_users,
         "tdigest_quantity": _tdigest_quantity,
         "audio_features": _audio_features,
+        "image_metadata": _image_metadata,
         "sample_documents": q_sample,
         "codec_duration_quantiles": _codec_duration_quantiles,
     }

@@ -1,0 +1,52 @@
+"""Deterministic synthetic image corpus (no external data, no RNG state).
+
+Each image id maps to a fixed size, format and gradient pattern, so tests
+and oracles can predict every decoded value.  Formats cycle through the
+natively-decodable set plus an 'unknown' payload that exercises the fake
+fallback path of ImageDecodeStage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.image import encode_bmp, encode_ppm, encode_tga
+
+FORMATS = ("ppm", "pgm", "bmp", "tga", "unknown")
+
+
+def image_dims(i: int) -> tuple[int, int]:
+    """(width, height) for image id i — pure function of the id."""
+    return 16 + (i * 7) % 49, 16 + (i * 11) % 37
+
+
+def image_format(i: int) -> str:
+    return FORMATS[i % len(FORMATS)]
+
+
+def synth_image(i: int) -> bytes:
+    """Encode image id i in its format; gradient pixels (x + 2y + i) % 256."""
+    w, h = image_dims(i)
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x + 2 * y + i) % 256).astype(np.uint8)
+    fmt = image_format(i)
+    if fmt == "pgm":
+        return encode_ppm(base)
+    rgb = np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=2).astype(np.uint8)
+    if fmt == "ppm":
+        return encode_ppm(rgb)
+    if fmt == "bmp":
+        return encode_bmp(rgb)
+    if fmt == "tga":
+        return encode_tga(rgb)
+    # 'unknown': an opaque payload no codec claims (exercises the fallback).
+    return b"\x00OPAQ" + bytes([(i * 13 + j) % 256 for j in range(32)])
+
+
+def synth_image_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    return pa.table({
+        "img_id": pa.array(ids, pa.int64()),
+        "image": pa.array([synth_image(int(i)) for i in ids], pa.large_binary()),
+    })

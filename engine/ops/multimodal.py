@@ -1,10 +1,11 @@
 """Multimodal column operators (binary payloads + typed metadata).
 
-The audio path is fully real (this repo's WAV codecs).  Image / video decode
-is STUBBED behind ``NotImplementedError`` — the codec libraries are not in
-this container — but the Ray-side plumbing (schema, actor-pool signature,
-batch sizing, output layout) is real and tested with a deterministic fake so
-swapping in Pillow / PyAV later is a one-class change.
+The audio path is fully real (this repo's WAV codecs).  The image path is
+real for PPM/PGM/BMP/TGA (pure-numpy codecs, engine/image.py); other image
+formats and video decode are STUBBED behind ``NotImplementedError`` — the
+codec libraries are not in this container — with the Ray-side plumbing
+(schema, actor-pool signature, batch sizing, output layout) real and tested
+so swapping in Pillow / PyAV later is a one-class change.
 """
 
 from __future__ import annotations
@@ -47,12 +48,15 @@ class AudioFeatureStage:
 
 
 class ImageDecodeStage:
-    """STUB: binary image column → (width, height, mode) metadata.
+    """Binary image column → (width, height, mode, img_format, mean_lum,
+    decode_ok) metadata.  REAL decode for PPM/PGM, 24-bit BMP and type-2 TGA
+    via the pure-numpy codecs in engine/image.py (round-1 VERDICT item 6).
 
-    Real decode requires Pillow (absent here).  ``fake=True`` produces
-    deterministic metadata from the payload bytes so pipelines and schemas can
-    be exercised end-to-end; ``fake=False`` raises NotImplementedError the way
-    the real integration point would surface a missing codec.
+    Formats outside that set (JPEG/PNG need a codec library absent here):
+    with ``fake=True`` they fall back to deterministic payload-derived
+    metadata with ``decode_ok=False`` so pipelines keep flowing; with
+    ``fake=False`` the unknown format raises, the way a strict pipeline
+    would surface a missing codec.
     """
 
     def __init__(self, bytes_col: str = "image", fake: bool = True) -> None:
@@ -60,21 +64,42 @@ class ImageDecodeStage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("image decode requires Pillow; not available in this environment")
+        from engine.image import ImageDecodeError, decode_image
+
         blobs = batch.column(self.bytes_col)
         n = batch.num_rows
         w = np.zeros(n, dtype=np.int32)
         h = np.zeros(n, dtype=np.int32)
+        lum = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        modes = ["unknown"] * n
+        fmts = ["unknown"] * n
         for i in range(n):
             raw = blobs[i].as_py() or b""
-            # Deterministic fake: dimensions derived from payload digest.
-            d = sum(raw[:16]) if raw else 0
-            w[i] = 64 + (d % 192)
-            h[i] = 64 + ((d * 7) % 192)
+            try:
+                img, fmt = decode_image(raw)
+            except ImageDecodeError:
+                if not self.fake:
+                    raise NotImplementedError(
+                        "unsupported image format; PPM/PGM, 24-bit BMP and "
+                        "type-2 TGA decode natively, others need Pillow")
+                # Deterministic fallback: dimensions derived from payload digest.
+                d = sum(raw[:16]) if raw else 0
+                w[i] = 64 + (d % 192)
+                h[i] = 64 + ((d * 7) % 192)
+                modes[i] = "RGB"
+                continue
+            ok[i] = True
+            h[i], w[i] = img.shape[0], img.shape[1]
+            modes[i] = {1: "L", 3: "RGB", 4: "RGBA"}[img.shape[2]]
+            lum[i] = float(img[:, :, :3].mean())
+            fmts[i] = fmt
         return batch.append_column("width", pa.array(w)) \
             .append_column("height", pa.array(h)) \
-            .append_column("mode", pa.array(["RGB"] * n, pa.string()))
+            .append_column("mode", pa.array(modes, pa.string())) \
+            .append_column("img_format", pa.array(fmts, pa.string())) \
+            .append_column("mean_lum", pa.array(lum)) \
+            .append_column("decode_ok", pa.array(ok))
 
 
 class FrameSampleStage:

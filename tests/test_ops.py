@@ -176,3 +176,77 @@ def test_dedup_keep_first_bucketed(docs_ds, tmp_path):
     assert buckets
     total = sum(pq.read_table(f).num_rows for b in buckets for f in glob.glob(f"{b}/*.parquet"))
     assert total == len(ids)
+
+
+def test_image_codecs_roundtrip():
+    """Pure-numpy PPM/PGM/BMP/TGA encode→decode is pixel-exact."""
+    import numpy as np
+
+    from engine.image import (decode_bmp, decode_image, decode_pnm, decode_tga,
+                              encode_bmp, encode_ppm, encode_tga)
+
+    y, x = np.mgrid[0:13, 0:17]  # odd width exercises BMP row padding
+    rgb = np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256],
+                   axis=2).astype(np.uint8)
+    gray = ((x * 7 + y) % 256).astype(np.uint8)
+
+    assert (decode_pnm(encode_ppm(rgb)) == rgb).all()
+    assert (decode_pnm(encode_ppm(gray)) == gray[:, :, None]).all()
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+    assert (decode_tga(encode_tga(rgb)) == rgb).all()
+
+    img, fmt = decode_image(encode_bmp(rgb))
+    assert fmt == "bmp" and img.shape == (13, 17, 3)
+
+    # RGBA TGA
+    rgba = np.dstack([rgb, ((x + 2 * y) % 256).astype(np.uint8)])
+    assert (decode_tga(encode_tga(rgba)) == rgba).all()
+
+
+def test_image_codecs_reject_garbage():
+    import pytest as _pytest
+
+    from engine.image import ImageDecodeError, decode_image
+
+    for bad in (b"", b"zzzz", b"P6 broken", b"BMtooshort",
+                b"P6\n3 3\n255\nxy"):  # truncated pixels
+        with _pytest.raises(ImageDecodeError):
+            decode_image(bad)
+
+
+def test_image_decode_stage_real(ray_session):
+    """ImageDecodeStage really decodes the synthesized corpus: dimensions and
+    mean luminance match the generator's closed form, row by row."""
+    import numpy as np
+    import ray.data
+
+    from engine.data.images import image_dims, image_format, synth_image_batch
+    from engine.ops.multimodal import ImageDecodeStage
+
+    n = 25
+    ds = ray.data.range(n).map_batches(synth_image_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    rows = {r["img_id"]: r for r in
+            ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                           concurrency=1).take_all()}
+    assert len(rows) == n
+    for i in range(n):
+        r = rows[i]
+        fmt = image_format(i)
+        if fmt == "unknown":
+            assert not r["decode_ok"] and r["img_format"] == "unknown"
+            continue
+        w, h = image_dims(i)
+        assert r["decode_ok"], (i, fmt)
+        assert (r["width"], r["height"]) == (w, h), (i, fmt)
+        assert r["img_format"] == ("pnm" if fmt in ("ppm", "pgm") else fmt)
+        assert r["mode"] == ("L" if fmt == "pgm" else "RGB")
+        # closed-form mean of the gradient (x + 2y + i) % 256 per channel
+        y, x = np.mgrid[0:h, 0:w]
+        base = ((x + 2 * y + i) % 256).astype(np.float64)
+        if fmt == "pgm":
+            expect = base.mean()
+        else:
+            expect = np.mean([base.mean(), ((base + 85) % 256).mean(),
+                              ((base + 170) % 256).mean()])
+        assert abs(r["mean_lum"] - expect) < 1e-6, (i, fmt)
