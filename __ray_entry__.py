@@ -123,7 +123,9 @@ def _embedding_near_dup(sf_dir: str):
     })
 
 
-def _lang_quality_documents(sf_dir: str):
+def _quality_scores_documents(sf_dir: str):
+    """Float quality/stopword scores (heuristic — rows-only; the integer
+    sub-metrics are hash-oracled separately in lang_quality_documents)."""
     import ray.data
 
     from engine.ops.text import LangIdStage, TokenStatsStage
@@ -283,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "union_region_nation_names": q.union_region_nation_names,
+        "sample_documents": q_sample,
+        "lang_quality_documents": q.lang_quality_documents,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -291,13 +295,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup": _jaccard_near_dup,
         "knn_lsh_top10": _knn_lsh_top10,
         "embedding_near_dup": _embedding_near_dup,
-        "lang_quality_documents": _lang_quality_documents,
+        "quality_scores_documents": _quality_scores_documents,
         "rolling_fingerprint": _rolling_fingerprint,
         "hll_distinct_users": _hll_distinct_users,
         "tdigest_quantity": _tdigest_quantity,
         "audio_features": _audio_features,
         "image_metadata": _image_metadata,
-        "sample_documents": q_sample,
         "codec_duration_quantiles": _codec_duration_quantiles,
     }
 
@@ -322,4 +325,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": q.SESSIONIZE_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "union_region_nation_names": q.UNION_SQL,
+        "sample_documents": q.SAMPLE_DOCS_SQL,
+        "lang_quality_documents": q.LANG_QUALITY_SQL,
     }

@@ -37,12 +37,19 @@ class TokenStatsStage:
         self.tok = re.compile(BPE_ISH)
         self.punct = re.compile(r"[^\w\s]")
         self.digit = re.compile(r"\d")
+        # ASCII-deterministic variants: exact-match an SQL oracle
+        # (DuckDB/RE2 character classes are ASCII; Python's \d/\s are not).
+        self.digit_ascii = re.compile(r"[0-9]")
+        self.punct_ascii = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
         ws = np.zeros(n, dtype=np.int64)
         rt = np.zeros(n, dtype=np.int64)
+        nd = np.zeros(n, dtype=np.int64)
+        npu = np.zeros(n, dtype=np.int64)
+        ns = np.zeros(n, dtype=np.int64)
         pr = np.zeros(n)
         dr = np.zeros(n)
         sr = np.zeros(n)
@@ -53,11 +60,14 @@ class TokenStatsStage:
             words = t.split()
             ws[i] = len(words)
             rt[i] = len(self.tok.findall(t))
+            nd[i] = len(self.digit_ascii.findall(t))
+            npu[i] = len(self.punct_ascii.findall(t))
             L = max(len(t), 1)
             pr[i] = len(self.punct.findall(t)) / L
             dr[i] = len(self.digit.findall(t)) / L
             if words:
-                sr[i] = sum(1 for w in words if w.lower() in en_stop) / len(words)
+                ns[i] = sum(1 for w in words if w.lower() in en_stop)
+                sr[i] = ns[i] / len(words)
             # Quality: length sweet spot, low punct/digit noise, some stopwords.
             length_score = min(len(t) / 200.0, 1.0)
             q[i] = max(0.0, min(1.0,
@@ -65,6 +75,9 @@ class TokenStatsStage:
                        + 0.1 * (1.0 - min(dr[i] * 5, 1.0)) + 0.2 * min(sr[i] * 3, 1.0)))
         return batch.append_column("ws_tokens", pa.array(ws)) \
             .append_column("re_tokens", pa.array(rt)) \
+            .append_column("n_digits", pa.array(nd)) \
+            .append_column("n_punct", pa.array(npu)) \
+            .append_column("en_stops", pa.array(ns)) \
             .append_column("punct_ratio", pa.array(pr)) \
             .append_column("digit_ratio", pa.array(dr)) \
             .append_column("stop_ratio", pa.array(sr)) \

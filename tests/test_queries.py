@@ -19,6 +19,8 @@ FAST_ORACLED = [
     "knn_cosine_top10",
     "sessionize_events",
     "revenue_by_segment_day",
+    "sample_documents",
+    "lang_quality_documents",
 ]
 
 
