@@ -210,9 +210,20 @@ def run_validation(
 
 def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
                    batch_size: int, concurrency, *, min_snr_db=None, schema=None) -> dict:
+    import shutil
+
     import ray.data
 
     from engine.data.clips import make_clips_batch
+
+    # No manifest == the partition never completed.  A previous attempt may
+    # have crashed mid-write, leaving partial parquet files that a fresh
+    # write_parquet would sit alongside (uuid filenames) and double-count —
+    # clear them so resume is exactly-once per partition.
+    for sub in ("verdicts", "violations"):
+        stale = out / sub / f"part={part}"
+        if stale.exists():
+            shutil.rmtree(stale)
 
     ds = ray.data.range(hi - lo).map_batches(
         lambda b: make_clips_batch({"id": np.asarray(b["id"]) + lo}, seed=seed),

@@ -60,3 +60,72 @@ def test_determinism_across_runs(ray_session, tmp_path):
     b = run_validation(300, str(tmp_path / "b"), n_partitions=1, batch_size=128)
     for key in ("parse_ok", "audio_ok", "meta_ok", "violations", "repairs", "duplicate_id_groups"):
         assert a[key] == b[key]
+
+
+def test_crash_mid_partition_resume_is_exactly_once(ray_session, tmp_path):
+    """Round-1 VERDICT item 9: kill a run mid-partition, re-run, and prove
+    the re-run (a) skips finished manifests, (b) clears the crashed
+    partition's partial output instead of double-counting it, and (c)
+    produces verdicts identical to an uninterrupted run."""
+    import pyarrow.parquet as pq
+
+    import engine.run as runmod
+    from engine.run import run_validation
+
+    def verdict_rows(out):
+        files = sorted((out / "verdicts").rglob("*.parquet"))
+        tbl = pq.read_table([str(f) for f in files])
+        df = tbl.to_pandas().sort_values(
+            ["clip_id", "dur_ms", "sr_hz", "codec"]).reset_index(drop=True)
+        return df
+
+    # Ground truth: clean uninterrupted run.
+    clean = tmp_path / "clean"
+    m_clean = run_validation(450, str(clean), n_partitions=3, batch_size=128)
+
+    # Crashing run: partition 1 dies AFTER writing partial verdict output but
+    # BEFORE its manifest lands (the worst-case window).
+    crashed = tmp_path / "crashed"
+    real_run_partition = runmod._run_partition
+
+    def dying_run_partition(part, lo, hi, out, *args, **kwargs):
+        metrics = real_run_partition(part, lo, hi, out, *args, **kwargs)
+        if part == 1:
+            # Simulate the kill: output written, manifest never recorded.
+            raise KeyboardInterrupt("simulated mid-run kill")
+        return metrics
+
+    runmod._run_partition = dying_run_partition
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_validation(450, str(crashed), n_partitions=3, batch_size=128)
+    finally:
+        runmod._run_partition = real_run_partition
+
+    # Partition 0 completed; partition 1 left partial files and no manifest.
+    assert (crashed / "manifest" / "part=0.json").exists()
+    assert not (crashed / "manifest" / "part=1.json").exists()
+    assert list((crashed / "verdicts" / "part=1").rglob("*.parquet")), \
+        "test premise: the kill must leave partial output behind"
+
+    # Resume: partition 0 must be skipped (its _run_partition never called),
+    # partitions 1-2 recomputed.
+    ran_parts = []
+
+    def recording_run_partition(part, *args, **kwargs):
+        ran_parts.append(part)
+        return real_run_partition(part, *args, **kwargs)
+
+    runmod._run_partition = recording_run_partition
+    try:
+        m_resumed = run_validation(450, str(crashed), n_partitions=3, batch_size=128)
+    finally:
+        runmod._run_partition = real_run_partition
+    assert ran_parts == [1, 2]
+
+    # Verdicts identical to the uninterrupted run, no duplicated rows.
+    df_clean, df_resumed = verdict_rows(clean), verdict_rows(crashed)
+    assert len(df_resumed) == 450
+    assert df_clean.equals(df_resumed)
+    for key in ("rows", "parse_ok", "audio_ok", "meta_ok", "violations", "repairs"):
+        assert m_resumed[key] == m_clean[key]
