@@ -65,7 +65,7 @@ def _minhash_near_dup(sf_dir: str):
     from engine.ops.dedup import minhash_lsh_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, min_est_jaccard=0.5, concurrency=(1, 8)).sort(["a", "b"])
+    return minhash_lsh_pairs(docs, min_est_jaccard=0.5).sort(["a", "b"])
 
 
 def _simhash_near_dup(sf_dir: str):
@@ -74,7 +74,7 @@ def _simhash_near_dup(sf_dir: str):
     from engine.ops.dedup import simhash_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, max_hamming=3, concurrency=(1, 8)).sort(["a", "b"])
+    return simhash_pairs(docs, max_hamming=3).sort(["a", "b"])
 
 
 def _jaccard_near_dup(sf_dir: str):
@@ -83,7 +83,7 @@ def _jaccard_near_dup(sf_dir: str):
     from engine.ops.dedup import jaccard_verify, minhash_lsh_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.4, concurrency=(1, 8))
+    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.4)
     cand = cand.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow",
                             zero_copy_batch=True)
     return jaccard_verify(cand, docs, min_jaccard=0.5).sort(["a", "b"])

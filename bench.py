@@ -29,6 +29,9 @@ BENCH_CLIPS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
 # Scaling runs use a larger corpus so the ~5s fixed session+actor startup is
 # amortized and the measurement reflects the pipeline, not process spawn.
 SCALING_CLIPS = {"sf0.001": 20_000, "sf0.01": 60_000, "sf0.1": 300_000}
+# The default bench also records a lighter two-scale signal each round
+# (regression tracking, not the headline criterion — that's --scaling).
+INLINE_SCALING_CLIPS = {"sf0.001": 5_000, "sf0.01": 30_000, "sf0.1": 150_000}
 
 
 def _sf_label() -> str:
@@ -115,11 +118,61 @@ def run_query_bench() -> dict[str, float]:
     return out
 
 
+def _scaling_clip_count() -> int:
+    override = os.environ.get("GRAFT_SCALING_CLIP_COUNT")
+    return int(override) if override else SCALING_CLIPS[_sf_label()]
+
+
+def _run_scaling_pair(pair: tuple[int, ...], n_clips: int) -> dict | None:
+    """Run the flagship at each CPU level in fresh processes; return the
+    throughput-at-each + efficiency dict (None on worker failure)."""
+    results = []
+    for n_cpus in pair:
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(n_cpus)],
+                capture_output=True, text=True, timeout=3600,
+                env={**os.environ,
+                     "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                     "GRAFT_SCALING_CLIP_COUNT": str(n_clips)},
+                check=False,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("SCALING_RESULT ")), None)
+        if line is None:
+            return None
+        results.append(json.loads(line[len("SCALING_RESULT "):]))
+    lo, hi = results[0], results[-1]
+    factor = hi["num_cpus"] / lo["num_cpus"]
+    efficiency = hi["clips_per_s"] / (factor * lo["clips_per_s"])
+    return {
+        "runs": results,
+        f"throughput_{lo['num_cpus']}cpu": lo["clips_per_s"],
+        f"throughput_{hi['num_cpus']}cpu": hi["clips_per_s"],
+        f"scaling_efficiency_{lo['num_cpus']}_to_{hi['num_cpus']}": round(efficiency, 3),
+        "efficiency": round(efficiency, 3),
+    }
+
+
+def _append_history(record: dict) -> None:
+    """Round-over-round regression signal: bench/history.jsonl, one line/run."""
+    try:
+        hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench")
+        os.makedirs(hist_dir, exist_ok=True)
+        record = {"ts": time.time(), **record}
+        with open(os.path.join(hist_dir, "history.jsonl"), "a") as fd:
+            fd.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     if "--scaling-worker" in sys.argv:
         n_cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
         _init_ray(n_cpus)
-        res = run_flagship(SCALING_CLIPS[_sf_label()])
+        res = run_flagship(_scaling_clip_count())
         print("SCALING_RESULT " + json.dumps({"num_cpus": n_cpus, **res}))
         import ray
 
@@ -138,51 +191,44 @@ def main() -> None:
             sys.exit(1)
         # Build the parquet corpus once at full parallelism so neither timed
         # worker pays the (untimed) synthesis cost.
+        n_clips = _scaling_clip_count()
         _init_ray(NUM_CPUS)
-        prepare_flagship_input(SCALING_CLIPS[_sf_label()])
+        prepare_flagship_input(n_clips)
         import ray
 
         ray.shutdown()
-        results = []
-        for n_cpus in pair:
-            try:
-                proc = subprocess.run(
-                    [sys.executable, __file__, "--scaling-worker", str(n_cpus)],
-                    capture_output=True, text=True, timeout=3600,
-                    env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
-                    check=False,
-                )
-            except subprocess.TimeoutExpired:
-                print(json.dumps({"error": f"scaling worker at {n_cpus} cpus timed out"}))
-                sys.exit(1)
-            line = next((ln for ln in proc.stdout.splitlines()
-                         if ln.startswith("SCALING_RESULT ")), None)
-            if line is None:
-                print(json.dumps({"error": "scaling worker failed",
-                                  "stderr": proc.stderr[-2000:]}))
-                sys.exit(1)
-            results.append(json.loads(line[len("SCALING_RESULT "):]))
-        lo, hi = results[0], results[-1]
-        factor = hi["num_cpus"] / lo["num_cpus"]
-        efficiency = hi["clips_per_s"] / (factor * lo["clips_per_s"])
-        print(json.dumps({
+        scaling = _run_scaling_pair(pair, n_clips)
+        if scaling is None:
+            print(json.dumps({"error": "scaling worker failed or timed out"}))
+            sys.exit(1)
+        record = {
             "metric": "validated_clips_per_s_scaling",
-            "value": round(efficiency, 3),
+            "value": scaling["efficiency"],
             "unit": "efficiency",
             "sf": _sf_label(),
-            "runs": results,
-            f"throughput_{lo['num_cpus']}cpu": lo["clips_per_s"],
-            f"throughput_{hi['num_cpus']}cpu": hi["clips_per_s"],
-            f"scaling_efficiency_{lo['num_cpus']}_to_{hi['num_cpus']}": round(efficiency, 3),
-        }))
+            **{k: v for k, v in scaling.items() if k != "efficiency"},
+        }
+        _append_history(record)
+        print(json.dumps(record))
         return
 
     _init_ray(NUM_CPUS)
     t_all = time.time()
     flagship = run_flagship(BENCH_CLIPS[_sf_label()])
     queries = run_query_bench()
+    # Lighter per-round two-scale signal (round-1 VERDICT item 10): same
+    # clips-cached path at two CPU levels in fresh processes.
+    inline_clips = int(os.environ.get("GRAFT_SCALING_CLIP_COUNT",
+                                      INLINE_SCALING_CLIPS[_sf_label()]))
+    prepare_flagship_input(inline_clips)
+    import ray
+
+    ray.shutdown()   # free the session so the workers start clean
+    pair = tuple(int(x) for x in
+                 os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",") if x.strip())
+    scaling = _run_scaling_pair(pair, inline_clips)
     total = round(time.time() - t_all, 2)
-    print(json.dumps({
+    record = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
@@ -191,10 +237,10 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "validated_clips_per_s": flagship["clips_per_s"],
         "validated_clips": flagship["rows"],
-    }))
-    import ray
-
-    ray.shutdown()
+        "scaling": scaling,
+    }
+    _append_history(record)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

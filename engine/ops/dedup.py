@@ -217,23 +217,124 @@ def bucket_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
     })
 
 
+def duplicate_runs(*key_cols: np.ndarray) -> list[tuple[int, int]]:
+    """(start, length) of each run of identical composite keys, length >= 2.
+
+    Inputs must already be sorted lexicographically by the same key columns.
+    Vectorized: one pass of pairwise comparisons, no per-row Python.
+    """
+    n = key_cols[0].size
+    if n < 2:
+        return []
+    same = np.ones(n - 1, dtype=bool)
+    for k in key_cols:
+        same &= k[1:] == k[:-1]
+    starts = np.flatnonzero(np.concatenate([[True], ~same]))
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    multi = lengths >= 2
+    return list(zip(starts[multi].tolist(), lengths[multi].tolist()))
+
+
+def _salt_partition(key: np.ndarray, band: np.ndarray, n_parts: int) -> np.ndarray:
+    """Stable partition id from (band, band_key) for the bucket shuffle."""
+    mixed = key.astype(np.uint64) ^ (band.astype(np.uint64)
+                                     * np.uint64(0x9E3779B97F4A7C15))
+    return (mixed % np.uint64(n_parts)).astype(np.int32)
+
+
+def _bucket_shuffle_parts() -> int:
+    """Bucket-groupby partition count: ~4x CPUs so per-group Python overhead
+    is per-PARTITION, not per-bucket (the round-1 shape paid ~50µs of
+    map_groups dispatch per mostly-singleton bucket — thousands of groups;
+    this pays it ~4x#CPU times)."""
+    import ray
+
+    return max(32, 4 * int(ray.cluster_resources().get("CPU", 4)))
+
+
+def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
+                              min_est_jaccard: float = 0.5, cap: int = 64) -> pa.Table:
+    """All candidate pairs within one hash partition of band rows.
+
+    Sorts the partition by (band, band_key, id), finds duplicate-key runs
+    vectorized, and only loops over the (rare) multi-member buckets.  Cap
+    semantics and truncation logging match bucket_candidate_pairs.
+    """
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    sig_arr = group.column("sig")
+    if isinstance(sig_arr, pa.ChunkedArray):
+        sig_arr = sig_arr.combine_chunks()
+    k = sig_arr.type.list_size
+    sigs = np.asarray(sig_arr.values.to_numpy(zero_copy_only=False)).reshape(n, k)
+    band = group.column("band").to_numpy()
+    key = group.column("band_key").to_numpy()
+    ids = group.column(id_col).to_numpy()
+    order = np.lexsort((ids, key, band))
+    band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
+
+    ai_parts, bi_parts = [], []
+    for start, length in duplicate_runs(band, key):
+        if length > cap:
+            log.warning("minhash hot bucket truncated: %d rows > cap=%d "
+                        "(band=%s key=%s); pairs beyond the first %d ids dropped",
+                        length, cap, band[start], key[start], cap)
+            length = cap
+        i, j = np.triu_indices(length, k=1)
+        ai_parts.append(start + i)
+        bi_parts.append(start + j)
+    if not ai_parts:
+        return empty
+    ai = np.concatenate(ai_parts)
+    bi = np.concatenate(bi_parts)
+    est = (sigs[ai] == sigs[bi]).mean(axis=1)
+    keep = (est >= min_est_jaccard) & (ids[ai] != ids[bi])
+    return pa.table({
+        "a": pa.array(ids[ai][keep]),
+        "b": pa.array(ids[bi][keep]),
+        "est_jaccard": pa.array(est[keep]),
+    })
+
+
 def minhash_lsh_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 64, bands: int = 16, min_est_jaccard: float = 0.5,
-                      concurrency=(1, 8)):
-    """Full near-dup pipeline: docs → candidate pairs (deduped across bands)."""
-    sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
-    band_rows = sigs.map_batches(
-        lambda t: lsh_band_rows(t, bands=bands, id_col=id_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
-        lambda g: bucket_candidate_pairs(g, id_col=id_col, min_est_jaccard=min_est_jaccard),
+                      cap: int = 64, concurrency=None, n_parts: int | None = None):
+    """Full near-dup pipeline: docs → candidate pairs (deduped across bands).
+
+    The bucket stage shuffles on a salted partition of (band, band_key) and
+    detects buckets vectorized inside each partition — the all-to-all moves
+    the same (band_key, sig) rows as a per-bucket groupby, but map_groups
+    dispatch cost is O(partitions), not O(buckets).
+    """
+    if n_parts is None:
+        n_parts = _bucket_shuffle_parts()
+    # The stage state (k permutation params) is ~1 KB: build it ONCE on the
+    # driver and let the task pool pickle it per task — an actor pool here
+    # pays ~1s of pool spin-up to cache state that costs microseconds to
+    # ship.  Pass concurrency=(lo, hi) to force an actor pool anyway.
+    stage = MinHashStage(k=k, text_col=text_col, id_col=id_col)
+    if concurrency is None:
+        sigs = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        sigs = ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        )
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = lsh_band_rows(t, bands=bands, id_col=id_col)
+        part = _salt_partition(out.column("band_key").to_numpy(),
+                               out.column("band").to_numpy(), n_parts)
+        return out.append_column("part", pa.array(part))
+
+    band_rows = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = band_rows.groupby("part").map_groups(
+        lambda g: partition_candidate_pairs(g, id_col=id_col,
+                                            min_est_jaccard=min_est_jaccard, cap=cap),
         batch_format="pyarrow",
     )
     # A pair can surface from several bands: keep the max estimate once.
@@ -274,14 +375,23 @@ class SimHashStage:
 
 
 def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, cap: int = 64, concurrency=(1, 8)):
+                  max_hamming: int = 3, cap: int = 64, concurrency=None,
+                  n_parts: int | None = None):
     """Near-dup candidates via simhash banding (4 x 16-bit bands), verified by
-    exact hamming distance inside the bucket group."""
-    hashed = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-    )
+    exact hamming distance inside the bucket — bucket detection vectorized per
+    salted partition (same shuffle shape as minhash_lsh_pairs)."""
+    if n_parts is None:
+        n_parts = _bucket_shuffle_parts()
+    if concurrency is None:
+        # SimHashStage is stateless: task pool, no actor spin-up.
+        hashed = ds.map_batches(SimHashStage(text_col=text_col, id_col=id_col),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        hashed = ds.map_batches(
+            SimHashStage,
+            fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         h = batch.column("simhash").to_numpy().astype(np.uint64)
@@ -290,31 +400,42 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         parts = []
         for band in range(4):
             key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            bands_col = np.full(n, band, dtype=np.int32)
             parts.append(pa.table({
-                "band": pa.array(np.full(n, band, dtype=np.int32)),
+                "band": pa.array(bands_col),
                 "band_key": pa.array(key),
+                "part": pa.array(_salt_partition(key, bands_col, n_parts)),
                 id_col: pa.array(ids),
                 "simhash": pa.array(h.astype(np.int64)),
             }))
         return pa.concat_tables(parts)
 
-    def verify(group: pa.Table) -> pa.Table:
-        n = group.num_rows
+    def verify_partition(group: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "hamming": pa.array([], pa.int64())})
+        n = group.num_rows
         if n < 2:
             return empty
         h = group.column("simhash").to_numpy().astype(np.uint64)
+        band = group.column("band").to_numpy()
+        key = group.column("band_key").to_numpy()
         ids = group.column(id_col).to_numpy()
-        order = np.argsort(ids, kind="mergesort")
-        h, ids = h[order], ids[order]
-        if n > cap:
-            log.warning("simhash hot bucket truncated: %d rows > cap=%d "
-                        "(band=%s key=%s)", n, cap,
-                        group.column("band")[0], group.column("band_key")[0])
-            h, ids = h[:cap], ids[:cap]
-            n = cap
-        ai, bi = np.triu_indices(n, k=1)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, h = band[order], key[order], ids[order], h[order]
+
+        ai_parts, bi_parts = [], []
+        for start, length in duplicate_runs(band, key):
+            if length > cap:
+                log.warning("simhash hot bucket truncated: %d rows > cap=%d "
+                            "(band=%s key=%s)", length, cap, band[start], key[start])
+                length = cap
+            i, j = np.triu_indices(length, k=1)
+            ai_parts.append(start + i)
+            bi_parts.append(start + j)
+        if not ai_parts:
+            return empty
+        ai = np.concatenate(ai_parts)
+        bi = np.concatenate(bi_parts)
         x = h[ai] ^ h[bi]
         ham = np.zeros(x.size, dtype=np.int64)
         for shift in range(64):
@@ -325,8 +446,8 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return (
         hashed.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_key"])
-        .map_groups(verify, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_partition, batch_format="pyarrow")
         .groupby(["a", "b"]).min("hamming")
     )
 
@@ -366,6 +487,10 @@ def jaccard_verify(pairs_ds, docs_ds, *, text_col: str = "text", id_col: str = "
     empty = pa.table({
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
         "jaccard": pa.array([], pa.float64())})
+    # Candidate pairs are a small intermediate (LSH output): pin them once so
+    # the size-gate count and the later consumption don't re-execute the
+    # upstream LSH pipeline.
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return ray.data.from_arrow(empty)

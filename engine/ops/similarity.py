@@ -123,28 +123,38 @@ def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
 
 
 def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
-                          col: str = "embedding", n_bits: int = 10, cap: int = 256):
-    """Embedding near-dup pairs: hyperplane-bucket groupby, exact cosine inside
-    each bucket (cap bounds a hot bucket's quadratic cost)."""
+                          col: str = "embedding", n_bits: int = 10, cap: int = 256,
+                          n_parts: int | None = None):
+    """Embedding near-dup pairs: hyperplane buckets shuffled on a salted
+    partition key, exact cosine inside each bucket run (cap bounds a hot
+    bucket's quadratic cost; map_groups dispatch is per-partition, not
+    per-bucket — same shape as minhash_lsh_pairs)."""
+    from engine.ops.dedup import _bucket_shuffle_parts, duplicate_runs
+
+    if n_parts is None:
+        n_parts = _bucket_shuffle_parts()
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch, col)
         if mat.shape[0] == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32()),
                              id_col: pa.array([], batch.schema.field(id_col).type),
                              "unit": pa.array([], pa.list_(pa.float32()))})
         planes = _hyperplanes(mat.shape[1], n_bits)
         keys = _signs_to_key(mat @ planes > 0)
+        part = (keys.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
         norms = np.linalg.norm(mat, axis=1) + 1e-30
         unit = (mat / norms[:, None]).astype(np.float32)
         return pa.table({
             "bucket": pa.array(keys),
+            "part": pa.array(part),
             id_col: batch.column(id_col),
             "unit": pa.FixedSizeListArray.from_arrays(
                 pa.array(unit.reshape(-1)), mat.shape[1]),
         })
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
@@ -156,23 +166,34 @@ def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id"
         dim = unit_arr.type.list_size
         unit = np.asarray(unit_arr.values.to_numpy(zero_copy_only=False),
                           dtype=np.float32).reshape(n, dim)
+        bucket = group.column("bucket").to_numpy()
         ids = group.column(id_col).to_numpy()
-        order = np.argsort(ids, kind="mergesort")
-        ids, unit = ids[order], unit[order]
-        if n > cap:
-            log.warning("cosine near-dup hot bucket truncated: %d rows > cap=%d "
-                        "(bucket=%s)", n, cap, group.column("bucket")[0])
-            ids, unit = ids[:cap], unit[:cap]
-            n = cap
-        sims = unit @ unit.T
-        ai, bi = np.triu_indices(n, k=1)
-        s = sims[ai, bi]
-        keep = (s >= threshold) & (ids[ai] != ids[bi])
-        return pa.table({"a": pa.array(ids[ai][keep]), "b": pa.array(ids[bi][keep]),
-                         "cosine": pa.array(s[keep].astype(np.float64))})
+        order = np.lexsort((ids, bucket))
+        bucket, ids, unit = bucket[order], ids[order], unit[order]
+
+        out_a, out_b, out_s = [], [], []
+        for start, length in duplicate_runs(bucket):
+            if length > cap:
+                log.warning("cosine near-dup hot bucket truncated: %d rows > "
+                            "cap=%d (bucket=%s)", length, cap, bucket[start])
+                length = cap
+            sub_ids = ids[start:start + length]
+            sub = unit[start:start + length]
+            sims = sub @ sub.T
+            ai, bi = np.triu_indices(length, k=1)
+            s = sims[ai, bi]
+            keep = (s >= threshold) & (sub_ids[ai] != sub_ids[bi])
+            out_a.append(sub_ids[ai][keep])
+            out_b.append(sub_ids[bi][keep])
+            out_s.append(s[keep])
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b)),
+                         "cosine": pa.array(np.concatenate(out_s).astype(np.float64))})
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
