@@ -252,6 +252,34 @@ def _image_metadata(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True).sort("img_id")
 
 
+def _video_frame_sample(sf_dir: str):
+    """Synthesized PPMV clips → sampled-and-decoded frame metadata (real
+    index-seek decode; every 7th payload exercises the fallback)."""
+    import ray.data
+
+    from engine.data.clips import clips_count_for_sf_dir
+    from engine.data.images import synth_video_batch
+    from engine.ops.multimodal import FrameSampleStage
+
+    n = min(clips_count_for_sf_dir(sf_dir), 2_000)
+    ds = ray.data.range(n).map_batches(synth_video_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    out = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
+                         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: pa.table({
+            "vid_id": t.column("vid_id"),
+            "video_ok": t.column("video_ok"),
+            "total_frames": t.column("total_frames"),
+            "fps": t.column("fps"),
+            "n_sampled": pa.array([len(o) for o in t.column("frame_offsets").to_pylist()],
+                                  pa.int64()),
+            "mean_frame_lum": pa.array([
+                round(float(np.mean(l)), 3) if l else None
+                for l in t.column("frame_lums").to_pylist()], pa.float64()),
+        }), batch_format="pyarrow", zero_copy_batch=True).sort("vid_id")
+
+
 def _codec_duration_quantiles(sf_dir: str):
     from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
     from engine.stages import salted_group_digests
@@ -301,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantity": _tdigest_quantity,
         "audio_features": _audio_features,
         "image_metadata": _image_metadata,
+        "video_frame_sample": _video_frame_sample,
         "codec_duration_quantiles": _codec_duration_quantiles,
     }
 

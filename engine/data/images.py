@@ -50,3 +50,35 @@ def synth_image_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
         "img_id": pa.array(ids, pa.int64()),
         "image": pa.array([synth_image(int(i)) for i in ids], pa.large_binary()),
     })
+
+
+def video_frames(i: int) -> int:
+    return 3 + i % 6
+
+
+def video_dims(i: int) -> tuple[int, int]:
+    return 16 + (i * 5) % 33, 16 + (i * 3) % 25
+
+
+def synth_video(i: int) -> bytes:
+    """PPMV clip for video id i: gradient frames (x + y + i + 7*f) % 256.
+
+    Every 7th id is an opaque non-PPMV payload exercising the fallback path.
+    """
+    from engine.video import encode_ppmv
+
+    if i % 7 == 6:
+        return b"\x00MP4?" + bytes([(i * 31 + j) % 256 for j in range(64)])
+    w, h = video_dims(i)
+    y, x = np.mgrid[0:h, 0:w]
+    frames = [((x + y + i + 7 * f) % 256).astype(np.uint8)
+              for f in range(video_frames(i))]
+    return encode_ppmv(frames, fps=5.0 + i % 20)
+
+
+def synth_video_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    return pa.table({
+        "vid_id": pa.array(ids, pa.int64()),
+        "video": pa.array([synth_video(int(i)) for i in ids], pa.large_binary()),
+    })

@@ -103,7 +103,14 @@ class ImageDecodeStage:
 
 
 class FrameSampleStage:
-    """STUB: binary video column → sampled frame offsets (layout-real, decode-fake)."""
+    """Binary video column → sampled, DECODED frame metadata.
+
+    REAL for the PPMV container (engine/video.py: indexed PPM frames —
+    seek-and-decode only the k sampled frames, never a full scan; the shape a
+    PyAV-backed stage would keep at petabyte scale).  Other containers
+    (mp4/mkv need PyAV, absent here): ``fake=True`` emits length-derived
+    offsets with decode_ok=False; ``fake=False`` raises.
+    """
 
     def __init__(self, bytes_col: str = "video", n_frames: int = 4, fake: bool = True) -> None:
         self.bytes_col = bytes_col
@@ -111,13 +118,40 @@ class FrameSampleStage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("video decode requires PyAV; not available in this environment")
+        from engine.video import (VideoDecodeError, decode_frame,
+                                  read_ppmv_index, sample_frame_indices)
+
         blobs = batch.column(self.bytes_col)
-        offsets = []
-        for i in range(batch.num_rows):
+        n = batch.num_rows
+        offsets: list[list[int]] = []
+        lums: list[list[float]] = []
+        total_frames = np.zeros(n, dtype=np.int64)
+        fps_col = np.zeros(n)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
             raw = blobs[i].as_py() or b""
-            span = max(len(raw), 1)
-            offsets.append([int(j * span / self.n_frames) for j in range(self.n_frames)])
+            try:
+                nf, fps, offs = read_ppmv_index(raw)
+                idx = sample_frame_indices(nf, self.n_frames)
+                frames = [decode_frame(raw, offs, int(j)) for j in idx]
+            except VideoDecodeError:
+                if not self.fake:
+                    raise NotImplementedError(
+                        "unsupported video container; PPMV decodes natively, "
+                        "real codecs need PyAV")
+                span = max(len(raw), 1)
+                offsets.append([int(j * span / self.n_frames)
+                                for j in range(self.n_frames)])
+                lums.append([])
+                continue
+            ok[i] = True
+            total_frames[i] = nf
+            fps_col[i] = fps
+            offsets.append([int(offs[j]) for j in idx])
+            lums.append([float(f.mean()) for f in frames])
         return batch.append_column(
-            "frame_offsets", pa.array(offsets, pa.list_(pa.int64())))
+            "frame_offsets", pa.array(offsets, pa.list_(pa.int64()))) \
+            .append_column("frame_lums", pa.array(lums, pa.list_(pa.float64()))) \
+            .append_column("total_frames", pa.array(total_frames)) \
+            .append_column("fps", pa.array(fps_col)) \
+            .append_column("video_ok", pa.array(ok))

@@ -250,3 +250,58 @@ def test_image_decode_stage_real(ray_session):
             expect = np.mean([base.mean(), ((base + 85) % 256).mean(),
                               ((base + 170) % 256).mean()])
         assert abs(r["mean_lum"] - expect) < 1e-6, (i, fmt)
+
+
+def test_ppmv_container_roundtrip():
+    import numpy as np
+
+    from engine.video import (VideoDecodeError, decode_frame, encode_ppmv,
+                              read_ppmv_index, sample_frame_indices)
+
+    y, x = np.mgrid[0:9, 0:11]
+    frames = [((x + y + 3 * f) % 256).astype(np.uint8) for f in range(5)]
+    blob = encode_ppmv(frames, fps=12.5)
+    n, fps, offs = read_ppmv_index(blob)
+    assert n == 5 and fps == 12.5 and len(offs) == 6
+    for f in range(5):
+        assert (decode_frame(blob, offs, f) == frames[f][:, :, None]).all()
+    assert sample_frame_indices(5, 3).tolist() == [0, 1, 3]
+    assert sample_frame_indices(2, 4).tolist() == [0, 1]
+    assert sample_frame_indices(0, 4).tolist() == []
+    for bad in (b"", b"PPMV", b"nope" * 10):
+        with pytest.raises(VideoDecodeError):
+            read_ppmv_index(bad)
+
+
+def test_frame_sample_stage_real(ray_session):
+    """FrameSampleStage seek-decodes the sampled frames of the synthetic PPMV
+    corpus; values match the generator's closed form."""
+    import numpy as np
+    import ray.data
+
+    from engine.data.images import (synth_video_batch, video_dims, video_frames)
+    from engine.ops.multimodal import FrameSampleStage
+    from engine.video import sample_frame_indices
+
+    n = 20
+    ds = ray.data.range(n).map_batches(synth_video_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    rows = {r["vid_id"]: r for r in
+            ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"n_frames": 3},
+                           batch_format="pyarrow", concurrency=1).take_all()}
+    assert len(rows) == n
+    for i in range(n):
+        r = rows[i]
+        if i % 7 == 6:
+            assert not r["video_ok"] and r["frame_lums"] == []
+            continue
+        nf = video_frames(i)
+        assert r["video_ok"] and r["total_frames"] == nf
+        assert r["fps"] == 5.0 + i % 20
+        idx = sample_frame_indices(nf, 3)
+        assert len(r["frame_offsets"]) == len(idx)
+        w, h = video_dims(i)
+        y, x = np.mgrid[0:h, 0:w]
+        for pos, f in enumerate(idx):
+            expect = ((x + y + i + 7 * int(f)) % 256).mean()
+            assert abs(r["frame_lums"][pos] - expect) < 1e-9
