@@ -107,6 +107,24 @@ def _knn_lsh_top10(sf_dir: str):
         .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
+def _knn_ivf_top10(sf_dir: str):
+    import ray.data
+
+    from engine.ops.similarity import knn_ivf
+    from engine.queries import _query_vector
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # nprobe=32/64 cells: this corpus is near-isotropic, so high recall costs
+    # a wide probe (tests/test_recall.py gates >=0.9 vs brute force).
+    cand = knn_ivf(emb, _query_vector(sf_dir), k=20, nprobe=32,
+                   keep_all_candidates=True)
+    return cand.map_batches(
+        lambda t: pa.table({"vec_id": t.column("vec_id"),
+                            "sim": pa.array(np.round(t.column("sim").to_numpy(), 5))}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+
+
 def _embedding_near_dup(sf_dir: str):
     import ray.data
 
@@ -322,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": _simhash_near_dup,
         "jaccard_near_dup": _jaccard_near_dup,
         "knn_lsh_top10": _knn_lsh_top10,
+        "knn_ivf_top10": _knn_ivf_top10,
         "embedding_near_dup": _embedding_near_dup,
         "quality_scores_documents": _quality_scores_documents,
         "rolling_fingerprint": _rolling_fingerprint,

@@ -122,6 +122,78 @@ def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
     return candidates.sort("sim", descending=True).limit(k)
 
 
+def train_ivf_centroids(ds, *, col: str = "embedding", n_cells: int = 64,
+                        train_sample: int = 4096, n_iter: int = 8,
+                        seed: int = 13) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded sample.
+
+    The sample is the first ``train_sample`` rows (deterministic); training
+    runs on the driver in numpy — at 100 TB the sample is still a fixed-size
+    driver-side matrix, never the corpus.  Returns unit centroids (C, dim).
+    """
+    rows = ds.limit(train_sample).take_all()
+    mat = np.asarray([r[col] for r in rows], dtype=np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(mat.shape[0], size=min(n_cells, mat.shape[0]),
+                           replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if members.shape[0]:
+                v = members.sum(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-30)
+    return cents
+
+
+def knn_ivf(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
+            col: str = "embedding", n_cells: int = 64, nprobe: int = 16,
+            centroids: np.ndarray | None = None, train_sample: int = 4096,
+            keep_all_candidates: bool = False):
+    """Approximate top-k via an IVF coarse quantizer (the scale path the
+    north-star names alongside LSH): rows are assigned to their nearest
+    spherical-k-means centroid per batch (one matmul, no shuffle), and only
+    rows in the query's ``nprobe`` nearest cells are scored.
+
+    ``centroids`` may be passed in (trained once, reused across queries);
+    otherwise a bounded sample trains them on the driver.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, col=col, n_cells=n_cells,
+                                        train_sample=train_sample)
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+    probe = np.argsort(-(centroids @ qn))[:nprobe]
+    probe_set = np.zeros(centroids.shape[0], dtype=bool)
+    probe_set[probe] = True
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch, col)
+        if mat.shape[0] == 0:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "sim": pa.array([], pa.float64())})
+        norms = np.linalg.norm(mat, axis=1) + 1e-30
+        unit = mat / norms[:, None]
+        cells = np.argmax(unit @ centroids.T, axis=1)
+        cand = np.nonzero(probe_set[cells])[0]
+        if cand.size == 0:
+            return pa.table({id_col: pa.array([], batch.column(id_col).type),
+                             "sim": pa.array([], pa.float64())})
+        sims = unit[cand] @ qn
+        take = min(k, sims.size)
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(cand[idx])),
+            "sim": pa.array(sims[idx].astype(np.float64)),
+        })
+
+    candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    if keep_all_candidates:
+        return candidates
+    return candidates.sort("sim", descending=True).limit(k)
+
+
 def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
                           col: str = "embedding", n_bits: int = 10, cap: int = 256,
                           n_parts: int | None = None):

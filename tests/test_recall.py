@@ -159,3 +159,39 @@ def test_bucket_cap_truncation_is_logged(caplog):
     assert any("truncated" in r.message for r in caplog.records)
     # 4 capped ids -> C(4,2)=6 pairs of identical signatures
     assert out.num_rows == 6
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF (spherical k-means cells, nprobe probing) must recover >=9 of the
+    exact cosine top-10.  This corpus is near-isotropic so the gate needs a
+    wide probe (32/64 cells) — documented honestly rather than tuned away."""
+    import ray.data
+
+    from engine.ops.similarity import knn_brute_force, knn_ivf
+    from engine.queries import _query_vector
+
+    q = _query_vector(SF_DIR)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = [r["vec_id"] for r in knn_brute_force(emb, q, k=10).take_all()]
+    approx = [r["vec_id"] for r in knn_ivf(emb, q, k=10, nprobe=32).take_all()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"knn_ivf recall {recall:.2f}"
+
+
+def test_ivf_centroids_reusable(ray_session):
+    """Centroids train once and can be reused across queries (the 100 TB
+    shape: train on a bounded sample, broadcast, never retrain per query)."""
+    import numpy as np
+    import ray.data
+
+    from engine.ops.similarity import knn_ivf, train_ivf_centroids
+    from engine.queries import _query_vector
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = train_ivf_centroids(emb)
+    assert cents.shape[0] == 64
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+    q = _query_vector(SF_DIR)
+    a = [r["vec_id"] for r in knn_ivf(emb, q, k=10, nprobe=32).take_all()]
+    b = [r["vec_id"] for r in knn_ivf(emb, q, k=10, nprobe=32, centroids=cents).take_all()]
+    assert a == b
