@@ -270,6 +270,48 @@ def _image_metadata(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True).sort("img_id")
 
 
+IMAGE_DIMS_N = 4096
+
+IMAGE_DIMS_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+d AS (
+  SELECT i, 305 + (SELECT SUM((i * 13 + j.j) % 256)
+                   FROM (SELECT CAST(range AS BIGINT) AS j FROM range(11)) j) AS dsum
+  FROM ids
+)
+SELECT i AS img_id,
+  CASE WHEN i % 5 = 4 THEN 'unknown' WHEN i % 5 = 2 THEN 'bmp'
+       WHEN i % 5 = 3 THEN 'tga' ELSE 'pnm' END AS img_format,
+  CAST(CASE WHEN i % 5 = 4 THEN 64 + (dsum % 192)
+            ELSE 16 + (i * 7) % 49 END AS INTEGER) AS width,
+  CAST(CASE WHEN i % 5 = 4 THEN 64 + ((dsum * 7) % 192)
+            ELSE 16 + (i * 11) % 37 END AS INTEGER) AS height,
+  CASE WHEN i % 5 = 1 THEN 'L' ELSE 'RGB' END AS mode,
+  (i % 5) <> 4 AS decode_ok
+FROM d ORDER BY img_id
+"""
+
+
+def _image_dims(sf_dir: str):
+    """Hash-oracled image decode: the REAL codecs must reproduce the
+    generator's closed-form header metadata; the DuckDB oracle computes the
+    same closed form over range() — the only oracle in the multimodal family
+    (fallback rows included: the opaque-payload fake dims are modeled too)."""
+    import ray.data
+
+    from engine.data.images import synth_image_batch
+    from engine.ops.multimodal import ImageDecodeStage
+
+    ds = ray.data.range(IMAGE_DIMS_N).map_batches(
+        synth_image_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.select(["img_id", "img_format", "width", "height",
+                            "mode", "decode_ok"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort("img_id")
+
+
 def _video_frame_sample(sf_dir: str):
     """Synthesized PPMV clips → sampled-and-decoded frame metadata (real
     index-seek decode; every 7th payload exercises the fallback)."""
@@ -333,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_region_nation_names": q.union_region_nation_names,
         "sample_documents": q_sample,
         "lang_quality_documents": q.lang_quality_documents,
+        "image_dims": _image_dims,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -375,4 +418,5 @@ def oracle_sql() -> dict[str, str]:
         "union_region_nation_names": q.UNION_SQL,
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "lang_quality_documents": q.LANG_QUALITY_SQL,
+        "image_dims": IMAGE_DIMS_SQL,
     }
