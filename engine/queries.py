@@ -687,11 +687,17 @@ def revenue_by_segment_day(sf_dir: str):
     line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def line_partial(batch: pa.Table) -> pa.Table:
+        # Combiner before the shuffle: lineitem is clustered by orderkey, so
+        # summing cents (and carrying the item count) within the batch cuts
+        # the join probe side ~4x for free — no extra exchange.
+        keys = batch.column("l_orderkey").to_numpy()
+        cents = _half_away_cents(batch.column("l_extendedprice").to_numpy()
+                                 * (1.0 - batch.column("l_discount").to_numpy()))
+        uniq, inv = np.unique(keys, return_inverse=True)
         return pa.table({
-            "o_orderkey": batch.column("l_orderkey"),
-            "rev_c": pa.array(_half_away_cents(
-                batch.column("l_extendedprice").to_numpy()
-                * (1.0 - batch.column("l_discount").to_numpy()))),
+            "o_orderkey": pa.array(uniq),
+            "rev_c": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            "n_items": pa.array(np.bincount(inv).astype(np.int64)),
         })
 
     from engine.stages import shuffle_partitions
@@ -745,9 +751,10 @@ def revenue_by_segment_day(sf_dir: str):
             "segment": batch.column("segment").to_pandas(),
             "month": batch.column("month").to_pandas(),
             "rev_c": batch.column("rev_c").to_numpy(),
+            "n_items": batch.column("n_items").to_numpy(),
         })
         g = df.groupby(["segment", "month"], as_index=False).agg(
-            n=("rev_c", "size"), rev_c=("rev_c", "sum"))
+            n=("n_items", "sum"), rev_c=("rev_c", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def finalize(batch: pa.Table) -> pa.Table:
