@@ -301,26 +301,18 @@ DIM_BROADCAST_MAX_ROWS = 8_000_000
 
 
 def _segment_lookup(cust_ds):
-    """Compact c_custkey→segment broadcast state: sorted int64 keys, int8
-    dictionary codes, and the unique segment strings — ~9 bytes/row instead
-    of a Python dict's ~100."""
+    """Compact c_custkey→segment broadcast state: a BroadcastMap of int64
+    keys → int8 dictionary codes plus the unique segment strings —
+    ~9 bytes/row instead of a Python dict's ~100."""
     import pandas as pd
+
+    from engine.stages import BroadcastMap
 
     parts = list(cust_ds.iter_batches(batch_format="pyarrow", batch_size=65536))
     t = pa.concat_tables(parts)
     codes, uniques = pd.factorize(t.column("c_mktsegment").to_pandas())
-    keys = t.column("c_custkey").to_numpy()
-    order = np.argsort(keys, kind="mergesort")
-    return keys[order], codes[order].astype(np.int8), [str(u) for u in uniques]
-
-
-def _lookup_codes(keys_sorted: np.ndarray, codes: np.ndarray, q: np.ndarray):
-    """Vectorized searchsorted lookup; returns (code_per_query, found_mask)."""
-    if keys_sorted.size == 0:
-        return np.empty(q.size, dtype=codes.dtype), np.zeros(q.size, dtype=bool)
-    idx = np.clip(np.searchsorted(keys_sorted, q), 0, keys_sorted.size - 1)
-    found = keys_sorted[idx] == q
-    return codes[idx], found
+    bm = BroadcastMap(t.column("c_custkey").to_numpy(), codes.astype(np.int8))
+    return bm, [str(u) for u in uniques]
 
 
 def orders_per_segment(sf_dir: str):
@@ -335,13 +327,12 @@ def orders_per_segment(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
     if cust.count() <= DIM_BROADCAST_MAX_ROWS:
-        keys, codes, uniques = _segment_lookup(cust)
-        lut_ref = ray.put((keys, codes))
+        bm, uniques = _segment_lookup(cust)
+        lut_ref = ray.put(bm)
 
         def tag(batch: pa.Table) -> pa.Table:
-            keys_s, codes_s = ray.get(lut_ref)
-            code, found = _lookup_codes(
-                keys_s, codes_s, batch.column("o_custkey").to_numpy())
+            code, found = ray.get(lut_ref).lookup(
+                batch.column("o_custkey").to_numpy())
             counts = np.bincount(code[found], minlength=len(uniques))
             return pa.table({
                 "c_mktsegment": pa.array(uniques, pa.string()),
@@ -705,22 +696,20 @@ def revenue_by_segment_day(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     if cust.count() <= DIM_BROADCAST_MAX_ROWS:
-        keys, codes, uniques = _segment_lookup(cust)
-        lut_ref = ray.put((keys, codes))
+        bm, uniques = _segment_lookup(cust)
+        lut_ref = ray.put(bm)
         uniq_arr = pa.array(uniques, pa.string())
 
         def order_tag(batch: pa.Table) -> pa.Table:
-            keys_s, codes_s = ray.get(lut_ref)
-            code, found = _lookup_codes(
-                keys_s, codes_s, batch.column("o_custkey").to_numpy())
+            code, found = ray.get(lut_ref).lookup(
+                batch.column("o_custkey").to_numpy())
             months = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
             keep = pa.array(found)
             # Inner-join semantics: drop orders with no matching customer.
             return pa.table({
                 "o_orderkey": batch.column("o_orderkey").filter(keep),
                 "segment": uniq_arr.take(pa.array(code[found].astype(np.int32))),
-                "month": (months.filter(keep) if isinstance(months, pa.ChunkedArray)
-                          else months.filter(keep)),
+                "month": months.filter(keep),
             })
 
         tagged_orders = orders.map_batches(order_tag, batch_format="pyarrow",

@@ -242,3 +242,19 @@ def test_fk_orphans_semijoin_sparse_many_blocks(ray_session):
     clean = ray.data.from_arrow(pa.table({"k": pa.array(
         [f"d-{i % 200:03d}" for i in range(1000)], pa.string())})).repartition(48)
     assert fk_orphans_semijoin(clean, dim, fact_key="k", dim_key="k").count() == 0
+
+
+def test_broadcast_map_lookup():
+    import numpy as np
+
+    from engine.stages import BroadcastMap
+
+    bm = BroadcastMap(np.array([30, 10, 20], dtype=np.int64),
+                      np.array([3, 1, 2], dtype=np.int8))
+    vals, found = bm.lookup(np.array([10, 15, 20, 30, 99], dtype=np.int64))
+    assert found.tolist() == [True, False, True, True, False]
+    assert vals[found].tolist() == [1, 2, 3]
+
+    empty = BroadcastMap(np.array([], dtype=np.int64), np.array([], dtype=np.int8))
+    vals, found = empty.lookup(np.array([1, 2], dtype=np.int64))
+    assert found.tolist() == [False, False]
