@@ -37,7 +37,7 @@ def encode_ppmv(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     offs = [base]
     for p in payloads:
         offs.append(offs[-1] + len(p))
-    return (_HDR.pack(MAGIC, n, int(fps * 1000))
+    return (_HDR.pack(MAGIC, n, int(round(fps * 1000)))
             + struct.pack(f"<{n + 1}Q", *offs)
             + b"".join(payloads))
 
