@@ -115,3 +115,36 @@ def test_tree_reduce_sparse(ray_session):
         return round(HyperLogLog.from_state(st).estimate(), 6)
 
     assert estimate(_docs()) == estimate(_docs(64))
+
+
+def test_hot_bucket_skew_bounded(ray_session, caplog):
+    """Pathological skew: 300 identical documents all hash to one LSH bucket
+    per band.  The capped bucket path must (a) stay bounded — emitted pairs
+    per bucket <= C(cap,2), never C(300,2) x 16 bands — and (b) log the
+    truncation, while distinct docs still pair normally."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.dedup import minhash_lsh_pairs
+
+    hot = ["the same document text repeated verbatim many times over"] * 300
+    distinct = [f"unique filler document number {i} with words {i*7} {i*13}"
+                for i in range(50)]
+    near_a = "a specific pair of nearly identical documents for recall check"
+    near_b = "a specific pair of nearly identical documents for recall checks"
+    texts = hot + distinct + [near_a, near_b]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(8)
+
+    with caplog.at_level(logging.WARNING, logger="engine.dedup"):
+        pairs = minhash_lsh_pairs(ds, min_est_jaccard=0.5, cap=16).take_all()
+
+    cap_pairs = 16 * 15 // 2
+    hot_pairs = [p for p in pairs if p["a"] < 300 and p["b"] < 300]
+    assert 0 < len(hot_pairs) <= cap_pairs, len(hot_pairs)
+    # the planted near-dup pair outside the hot key must still surface
+    assert any(p["a"] == 350 and p["b"] == 351 for p in pairs)
