@@ -14,8 +14,9 @@ Register with ``@register_check`` and select by name in a run config:
     {"checks": ["row_counts", "null_rates", "my_custom_check"]}
 
 ``run_checks(ds, names)`` executes any selection in ONE pass over the
-Dataset: each batch produces one combined partial row, merged on the driver
-(combiner pattern — the merge sees #batches rows).
+Dataset: each batch produces one combined partial row; rows tree-reduce in
+workers (every check's merge is associative by contract) so the driver never
+sees more than the reduce threshold, regardless of block count.
 """
 
 from __future__ import annotations
@@ -52,13 +53,21 @@ def run_checks(ds, names: list[str], *, violations: bool = False):
         state = {c.name: c.batch_partial(batch) for c in checks}
         return pa.table({"state": pa.array([json.dumps(state)], pa.large_string())})
 
-    rows = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    merged: dict[str, dict] = {}
-    for r in rows:
-        state = json.loads(r["state"])
-        for c in checks:
-            merged[c.name] = c.merge(merged[c.name], state[c.name]) if c.name in merged \
-                else state[c.name]
+    def combine(states: list[dict]) -> dict:
+        out: dict[str, dict] = {}
+        for state in states:
+            for c in checks:
+                out[c.name] = c.merge(out[c.name], state[c.name]) if c.name in out \
+                    else state[c.name]
+        return out
+
+    from engine.stages import tree_reduce_states
+
+    merged = tree_reduce_states(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        combine)
+    if merged is None:
+        merged = {c.name: c.batch_partial(pa.table({})) for c in checks}
     return {c.name: c.finalize(merged[c.name]) for c in checks}
 
 

@@ -41,7 +41,6 @@ from engine.stages import (
     TranscriptRepairStage,
     grouped_stats_partials,
     merge_grouped_states,
-    merge_sketch_partials,
     sketch_partials_batch,
     violations_batch,
 )
@@ -249,10 +248,13 @@ def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
     viol.write_parquet(str(out / "violations" / f"part={part}"))
     n_violations = viol.count()
 
-    # c) sketch partials → merge on driver (rows == #batches, tiny)
-    partial_rows = slim.map_batches(sketch_partials_batch, batch_format="pyarrow",
-                                    zero_copy_batch=True).take_all()
-    merged = merge_sketch_partials([json.loads(r["partial"]) for r in partial_rows])
+    # c) sketch partials → tree-reduce in workers (driver intake bounded by
+    #    the reduce threshold even for a 10^8-row partition)
+    from engine.stages import tree_merge_partials
+
+    merged = tree_merge_partials(
+        slim.map_batches(sketch_partials_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize())
 
     # d) grouped stats by skewed codec — partials bound the shuffle
     grouped = (

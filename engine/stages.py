@@ -625,12 +625,22 @@ def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
         bf.add(np.asarray(batch.column(dim_key).to_pylist(), dtype=object))
         return pa.table({"state": pa.array([json.dumps(bf.state())], pa.large_string())})
 
-    bloom = None
-    for r in dim_ds.select_columns([dim_key]).map_batches(
-            partial_bloom, batch_format="pyarrow", zero_copy_batch=True).take_all():
-        part = BloomFilter.from_state(json.loads(r["state"]))
-        bloom = part if bloom is None else bloom.merge(part)
-    bloom_ref = ray.put(bloom.state() if bloom is not None else None)
+    def combine_blooms(states: list[dict]) -> dict:
+        merged = None
+        for st in states:
+            bf = BloomFilter.from_state(st)
+            merged = bf if merged is None else merged.merge(bf)
+        return merged.state()
+
+    # Partial Blooms are full-geometry bitsets (they must share m to OR), so
+    # one-per-batch driver intake would be #batches x bitset at 10^12 scale —
+    # tree-reduce them in workers with a small fan-in (states are big) and
+    # hand the driver the final bitset only.
+    bloom_state = tree_reduce_states(
+        dim_ds.select_columns([dim_key]).map_batches(
+            partial_bloom, batch_format="pyarrow", zero_copy_batch=True),
+        combine_blooms, fan_in=16, driver_threshold=16)
+    bloom_ref = ray.put(bloom_state)
 
     def suspects(batch: pa.Table) -> pa.Table:
         state = ray.get(bloom_ref)
