@@ -340,6 +340,29 @@ def _video_frame_sample(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True).sort("vid_id")
 
 
+def _drift_clips(sf_dir: str):
+    """Distribution drift (PSI + KS) of this corpus vs the frozen baseline
+    sketch — the north-star drift operator as a standalone query.  Sketch
+    partials tree-reduce in workers; the report is per-column."""
+    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
+    from engine.run import drift_report, validate_clips_dataset
+    from engine.stages import sketch_partials_batch, tree_merge_partials
+
+    n = min(clips_count_for_sf_dir(sf_dir), 10_000)
+    checked = validate_clips_dataset(cached_clips_dataset(n, seed=42), batch_size=512)
+    partials = checked.map_batches(sketch_partials_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    merged = tree_merge_partials(partials)
+    rep = drift_report(merged["hists"])
+    cols = sorted(c for c in rep if c != "available")
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "psi": pa.array([rep[c]["psi"] for c in cols], pa.float64()),
+        "ks": pa.array([rep[c]["ks"] for c in cols], pa.float64()),
+        "drifted": pa.array([rep[c]["drifted"] for c in cols], pa.bool_()),
+    })
+
+
 def _codec_duration_quantiles(sf_dir: str):
     from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
     from engine.stages import salted_group_digests
@@ -392,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _audio_features,
         "image_metadata": _image_metadata,
         "video_frame_sample": _video_frame_sample,
+        "drift_clips": _drift_clips,
         "codec_duration_quantiles": _codec_duration_quantiles,
     }
 

@@ -102,3 +102,13 @@ def test_shuffle_partitions_scales_with_input():
     # Scale-up: same data, 4x cluster -> wider shuffle.
     assert shuffle_partitions(500_000_000, cpus=256) == 250
     assert shuffle_partitions(0, cpus=8) == 4
+
+
+def test_drift_clips_query(ray_session):
+    t = __import__("__ray_entry__").queries()["drift_clips"](SF_DIR)
+    rows = {r["column"]: r for r in t.to_pylist()}
+    assert {"dur_ms", "snr_db", "confidence"} <= set(rows)
+    # same-epoch corpus: nothing drifts vs the frozen baseline
+    assert not any(r["drifted"] for r in rows.values()), rows
+    assert all(0 <= r["psi"] < 0.2 for r in rows.values())
+    assert all(0 <= r["ks"] <= 1 for r in rows.values())
