@@ -126,9 +126,11 @@ def minhash_signatures_batch(flat: np.ndarray, counts: np.ndarray,
 class MinHashStage:
     """map_batches callable: text → minhash signature column (fixed-size list).
 
-    Stateful (actor pool): the permutation parameters are built once per actor.
-    Shingling is one hash_array call per batch; signatures are chunked
-    reduceat (no per-document Python loop in the hash/min path).
+    State (the ~1 KB permutation params) is built in __init__: construct an
+    instance on the driver for a task pool (default in minhash_lsh_pairs), or
+    pass the class with ``concurrency=`` for an actor pool.  Shingling is one
+    hash_array call per batch; signatures are chunked reduceat (no
+    per-document Python loop in the hash/min path).
     """
 
     def __init__(self, k: int = 64, shingle_width: int = 3, text_col: str = "text",
