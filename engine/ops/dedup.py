@@ -242,6 +242,29 @@ def duplicate_runs(*key_cols: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts[multi].tolist(), lengths[multi].tolist()))
 
 
+def capped_run_pairs(key_cols: tuple, cap: int, label: str) -> tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle (ai, bi) index arrays for every duplicate-key run in
+    pre-lexsorted bucket rows, truncating hot runs at ``cap`` with a WARNING.
+
+    The single implementation behind minhash / simhash / cosine bucket
+    verification (round-2 code review finding 6 — one place to change cap
+    semantics or the truncation log).
+    """
+    ai_parts, bi_parts = [], []
+    for start, length in duplicate_runs(*key_cols):
+        if length > cap:
+            log.warning("%s hot bucket truncated: %d rows > cap=%d (key=%s); "
+                        "pairs beyond the first %d ids dropped", label, length,
+                        cap, tuple(k[start] for k in key_cols), cap)
+            length = cap
+        i, j = np.triu_indices(length, k=1)
+        ai_parts.append(start + i)
+        bi_parts.append(start + j)
+    if not ai_parts:
+        return np.empty(0, np.intp), np.empty(0, np.intp)
+    return np.concatenate(ai_parts), np.concatenate(bi_parts)
+
+
 def _salt_partition(key: np.ndarray, band: np.ndarray, n_parts: int) -> np.ndarray:
     """Stable partition id from (band, band_key) for the bucket shuffle."""
     mixed = key.astype(np.uint64) ^ (band.astype(np.uint64)
@@ -283,20 +306,9 @@ def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
     order = np.lexsort((ids, key, band))
     band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
 
-    ai_parts, bi_parts = [], []
-    for start, length in duplicate_runs(band, key):
-        if length > cap:
-            log.warning("minhash hot bucket truncated: %d rows > cap=%d "
-                        "(band=%s key=%s); pairs beyond the first %d ids dropped",
-                        length, cap, band[start], key[start], cap)
-            length = cap
-        i, j = np.triu_indices(length, k=1)
-        ai_parts.append(start + i)
-        bi_parts.append(start + j)
-    if not ai_parts:
+    ai, bi = capped_run_pairs((band, key), cap, "minhash")
+    if ai.size == 0:
         return empty
-    ai = np.concatenate(ai_parts)
-    bi = np.concatenate(bi_parts)
     est = (sigs[ai] == sigs[bi]).mean(axis=1)
     keep = (est >= min_est_jaccard) & (ids[ai] != ids[bi])
     return pa.table({
@@ -431,19 +443,9 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         order = np.lexsort((ids, key, band))
         band, key, ids, h = band[order], key[order], ids[order], h[order]
 
-        ai_parts, bi_parts = [], []
-        for start, length in duplicate_runs(band, key):
-            if length > cap:
-                log.warning("simhash hot bucket truncated: %d rows > cap=%d "
-                            "(band=%s key=%s)", length, cap, band[start], key[start])
-                length = cap
-            i, j = np.triu_indices(length, k=1)
-            ai_parts.append(start + i)
-            bi_parts.append(start + j)
-        if not ai_parts:
+        ai, bi = capped_run_pairs((band, key), cap, "simhash")
+        if ai.size == 0:
             return empty
-        ai = np.concatenate(ai_parts)
-        bi = np.concatenate(bi_parts)
         x = h[ai] ^ h[bi]
         ham = np.zeros(x.size, dtype=np.int64)
         for shift in range(64):

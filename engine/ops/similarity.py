@@ -201,7 +201,7 @@ def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id"
     partition key, exact cosine inside each bucket run (cap bounds a hot
     bucket's quadratic cost; map_groups dispatch is per-partition, not
     per-bucket — same shape as minhash_lsh_pairs)."""
-    from engine.ops.dedup import _bucket_shuffle_parts, duplicate_runs
+    from engine.ops.dedup import _bucket_shuffle_parts, capped_run_pairs
 
     if n_parts is None:
         n_parts = _bucket_shuffle_parts()
@@ -243,26 +243,14 @@ def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id"
         order = np.lexsort((ids, bucket))
         bucket, ids, unit = bucket[order], ids[order], unit[order]
 
-        out_a, out_b, out_s = [], [], []
-        for start, length in duplicate_runs(bucket):
-            if length > cap:
-                log.warning("cosine near-dup hot bucket truncated: %d rows > "
-                            "cap=%d (bucket=%s)", length, cap, bucket[start])
-                length = cap
-            sub_ids = ids[start:start + length]
-            sub = unit[start:start + length]
-            sims = sub @ sub.T
-            ai, bi = np.triu_indices(length, k=1)
-            s = sims[ai, bi]
-            keep = (s >= threshold) & (sub_ids[ai] != sub_ids[bi])
-            out_a.append(sub_ids[ai][keep])
-            out_b.append(sub_ids[bi][keep])
-            out_s.append(s[keep])
-        if not out_a:
+        ai, bi = capped_run_pairs((bucket,), cap, "cosine near-dup")
+        if ai.size == 0:
             return empty
-        return pa.table({"a": pa.array(np.concatenate(out_a)),
-                         "b": pa.array(np.concatenate(out_b)),
-                         "cosine": pa.array(np.concatenate(out_s).astype(np.float64))})
+        s = np.einsum("ij,ij->i", unit[ai], unit[bi])
+        keep = (s >= threshold) & (ids[ai] != ids[bi])
+        return pa.table({"a": pa.array(ids[ai][keep]),
+                         "b": pa.array(ids[bi][keep]),
+                         "cosine": pa.array(s[keep].astype(np.float64))})
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)

@@ -28,6 +28,13 @@ STOPWORDS = {
 
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
+# RE2-compatible ASCII whitespace (DuckDB's \s is exactly [\t\n\f\r ]).
+# Tokenization for SQL-oracled metrics MUST use this class on both sides:
+# Python's str.split() / \s are Unicode-aware and diverge on \x0b, NBSP,
+# U+2000-200A, U+3000 (round-2 code review finding 3).
+ASCII_WS_CLASS = "\t\n\f\r "
+TOKEN_RE = re.compile(f"[^{ASCII_WS_CLASS}]+")
+
 
 class TokenStatsStage:
     """Adds ws_tokens, re_tokens, punct_ratio, digit_ratio, stop_ratio, quality."""
@@ -40,7 +47,7 @@ class TokenStatsStage:
         # ASCII-deterministic variants: exact-match an SQL oracle
         # (DuckDB/RE2 character classes are ASCII; Python's \d/\s are not).
         self.digit_ascii = re.compile(r"[0-9]")
-        self.punct_ascii = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
+        self.punct_ascii = re.compile(f"[^A-Za-z0-9{ASCII_WS_CLASS}]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -57,7 +64,7 @@ class TokenStatsStage:
         en_stop = STOPWORDS["en"]
         for i, t in enumerate(texts):
             t = t or ""
-            words = t.split()
+            words = TOKEN_RE.findall(t)
             ws[i] = len(words)
             rt[i] = len(self.tok.findall(t))
             nd[i] = len(self.digit_ascii.findall(t))
@@ -96,7 +103,7 @@ class LangIdStage:
             return "und", 0.0
         if self.cjk.search(text):
             return "zh", 1.0
-        words = [w.lower() for w in text.split()]
+        words = [w.lower() for w in TOKEN_RE.findall(text)]
         if not words:
             return "und", 0.0
         best_lang, best_hits = "und", 0

@@ -139,6 +139,8 @@ def stats_lineitem_quantity(sf_dir: str):
     from engine.stages import tree_reduce_states
     state = tree_reduce_states(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), combine)
+    if state is None:            # empty input: zero-row summary, not a crash
+        state = {**ColumnStats().state(), "int_sum": 0}
     int_sum = state.pop("int_sum")
     merged = ColumnStats.from_state(state)
     m = merged.summary()
@@ -309,6 +311,9 @@ def _segment_lookup(cust_ds):
     from engine.stages import BroadcastMap
 
     parts = list(cust_ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    if not parts:                # empty dimension: empty map, no segments
+        return BroadcastMap(np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.int8)), []
     t = pa.concat_tables(parts)
     codes, uniques = pd.factorize(t.column("c_mktsegment").to_pandas())
     bm = BroadcastMap(t.column("c_custkey").to_numpy(), codes.astype(np.int8))
@@ -428,16 +433,20 @@ FROM events ORDER BY event_id
 
 def token_stats_documents(sf_dir: str):
     def count_tokens(batch: pa.Table) -> pa.Table:
-        ws = pa.array([len((t or "").split()) for t in batch.column("text").to_pylist()],
-                      pa.int64())
+        from engine.ops.text import TOKEN_RE
+
+        ws = pa.array([len(TOKEN_RE.findall(t or ""))
+                       for t in batch.column("text").to_pylist()], pa.int64())
         return pa.table({"doc_id": batch.column("doc_id"), "ws_tokens": ws})
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
 
 
+# Token class is the explicit RE2/ASCII whitespace complement — matches
+# engine.ops.text.TOKEN_RE exactly on every input (not just ASCII corpora).
 TOKEN_STATS_SQL = r"""
-SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+SELECT doc_id, CAST(length(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS BIGINT) AS ws_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -588,8 +597,10 @@ def sample_documents(sf_dir: str, fraction: float = 0.1):
     """
     import hashlib
 
-    thresh = format(int(fraction * 65536), "x").zfill(4)
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    if fraction >= 1.0:
+        return ds.sort("doc_id")
+    thresh = format(max(int(fraction * 65536), 0), "x").zfill(4)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -636,7 +647,7 @@ def _lang_quality_sql() -> str:
     en, es, de, fr = (_stop_in_list(lang) for lang in ("en", "es", "de", "fr"))
     return rf"""
 WITH toks AS (
-  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS words
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[^\t\n\f\r ]+') AS words
   FROM documents
 ), hits AS (
   SELECT doc_id, text, len(words) AS ws_tokens,
@@ -653,7 +664,7 @@ SELECT doc_id,
        ELSE 'fr' END AS lang_pred,
   CAST(ws_tokens AS BIGINT) AS ws_tokens,
   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-  CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(length(regexp_replace(text, '[A-Za-z0-9\t\n\f\r ]', '', 'g')) AS BIGINT) AS n_punct,
   CAST(en_h AS BIGINT) AS en_stops
 FROM hits ORDER BY doc_id
 """

@@ -505,11 +505,18 @@ def tree_merge_partials(partials_ds, *, fan_in: int = 64, driver_threshold: int 
         return pa.table({"partial": pa.array([json.dumps(combine_partial_states(states))],
                                              pa.large_string())})
 
+    # Pin the (tiny) state rows before counting: a lazy Dataset re-executes
+    # its whole upstream lineage on EVERY count()/take_all(), so an
+    # un-materialized input would be scanned once per round plus twice more
+    # (round-2 code review: a 10-block stage ran 20x).  Each round's output
+    # is pinned for the same reason.
+    partials_ds = partials_ds.materialize()
     count = partials_ds.count()
     while count > driver_threshold:
         n_blocks = max(1, -(-count // fan_in))
         partials_ds = partials_ds.repartition(n_blocks).map_batches(
-            merge_block, batch_size=fan_in, batch_format="pyarrow", zero_copy_batch=True)
+            merge_block, batch_size=fan_in, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
         count = partials_ds.count()
     return merge_sketch_partials([json.loads(r["partial"]) for r in partials_ds.take_all()])
 
@@ -536,12 +543,17 @@ def tree_reduce_states(states_ds, combine, *, state_col: str = "state",
         return pa.table({state_col: pa.array([json.dumps(combine(states))],
                                              pa.large_string())})
 
+    # Pin the state rows first: count()/take_all() on a lazy Dataset each
+    # re-execute the whole upstream lineage (full-corpus re-scans at every
+    # call site otherwise — round-2 code review finding 1).
+    states_ds = states_ds.materialize()
     rounds = 0
     count = states_ds.count()
     while count > driver_threshold:
         n_blocks = max(1, -(-count // fan_in))
         states_ds = states_ds.repartition(n_blocks).map_batches(
-            merge_block, batch_size=fan_in, batch_format="pyarrow", zero_copy_batch=True)
+            merge_block, batch_size=fan_in, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
         count = states_ds.count()
         rounds += 1
     final = [json.loads(r[state_col]) for r in states_ds.take_all()]
