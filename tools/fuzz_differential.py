@@ -70,31 +70,63 @@ def fuzz_grammar(n: int) -> int:
     return bad
 
 
+_MUTATION_BASES = [
+    {"a": 1, "b": [1, 2, 3], "c": {"d": "x y, z", "e": None}, "f": True},
+    [{"k": "v"}, {"k": "w"}, 3.5, "s"],
+    {"text": "line1\nline2, key: val", "n": -2.5e3, "arr": [[1, 2], [3, 4]]},
+]
+
+
+def _mutate_doc() -> str:
+    s = json.dumps(random.choice(_MUTATION_BASES))
+    for _ in range(random.randint(1, 3)):
+        op = random.choice(["del", "ins", "dup", "quote", "trunc"])
+        if op == "del" and s:
+            j = random.randrange(len(s))
+            s = s[:j] + s[j + 1:]
+        elif op == "ins":
+            j = random.randrange(len(s) + 1)
+            s = s[:j] + random.choice(FRAGMENTS) + s[j:]
+        elif op == "dup" and s:
+            j = random.randrange(len(s))
+            s = s[:j] + s[j] + s[j:]
+        elif op == "quote":
+            s = s.replace('"', "'", 1)
+        elif op == "trunc" and len(s) > 3:
+            s = s[:random.randrange(3, len(s))]
+    return s
+
+
 def fuzz_mutated(n: int) -> int:
-    bases = [
-        {"a": 1, "b": [1, 2, 3], "c": {"d": "x y, z", "e": None}, "f": True},
-        [{"k": "v"}, {"k": "w"}, 3.5, "s"],
-        {"text": "line1\nline2, key: val", "n": -2.5e3, "arr": [[1, 2], [3, 4]]},
-    ]
     bad = 0
     for _ in range(n):
-        s = json.dumps(random.choice(bases))
-        for _ in range(random.randint(1, 3)):
-            op = random.choice(["del", "ins", "dup", "quote", "trunc"])
-            if op == "del" and s:
-                j = random.randrange(len(s))
-                s = s[:j] + s[j + 1:]
-            elif op == "ins":
-                j = random.randrange(len(s) + 1)
-                s = s[:j] + random.choice(FRAGMENTS) + s[j:]
-            elif op == "dup" and s:
-                j = random.randrange(len(s))
-                s = s[:j] + s[j] + s[j:]
-            elif op == "quote":
-                s = s.replace('"', "'", 1)
-            elif op == "trunc" and len(s) > 3:
-                s = s[:random.randrange(3, len(s))]
-        if not compare(s, random.choice(FLAG_SETS[:4])):
+        if not compare(_mutate_doc(), random.choice(FLAG_SETS[:4])):
+            bad += 1
+    return bad
+
+
+def fuzz_chunked(n: int) -> int:
+    """load(fd, chunk_length=k) for tiny k must agree with the reference —
+    exercises the chunk-boundary logic of the file buffer on both sides."""
+    import io as _io
+
+    from src.json_repair.json_repair import load as ref_load
+
+    from engine.repair import load as my_load
+
+    bad = 0
+    for _ in range(n):
+        s = _mutate_doc()
+        cl = random.choice([1, 2, 3, 5, 8, 64])
+        kwargs = {"chunk_length": cl}
+        if random.random() < 0.3:
+            kwargs["skip_json_loads"] = True
+        want = _run(lambda r, **kw: ref_load(_io.StringIO(r), **kw), s, kwargs)
+        got = _run(lambda r, **kw: my_load(_io.StringIO(r), **kw), s, kwargs)
+        if want != got:
+            print(f"DIFF chunked kwargs={kwargs} raw={s!r}")
+            print(f"  ref : {want!r}"[:200])
+            print(f"  mine: {got!r}"[:200])
             bad += 1
     return bad
 
@@ -163,8 +195,9 @@ def fuzz_schema(n: int) -> int:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     random.seed(int(os.environ.get("FUZZ_SEED", "1234")))
-    bad = fuzz_grammar(n) + fuzz_mutated(n) + fuzz_schema(min(n, 3000))
-    total = n * 2 + min(n, 3000)
+    bad = (fuzz_grammar(n) + fuzz_mutated(n) + fuzz_schema(min(n, 3000))
+           + fuzz_chunked(min(n, 2000)))
+    total = n * 2 + min(n, 3000) + min(n, 2000)
     print(f"{total} trials, {bad} divergences")
     return 1 if bad else 0
 
