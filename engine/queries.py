@@ -550,26 +550,51 @@ FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Per-user session count (sessions split at >gap inactivity).
 
-    Windowed/stateful semantics expressed Ray-Data-first: hash-shuffle by
-    user (groupby), sort within the group, vectorized gap detection.  The
-    shuffle carries only (user_id, ts).
+    Windowed/stateful semantics expressed Ray-Data-first: hash-shuffle by a
+    SALTED partition of user_id (~4x CPUs partitions), then all users inside
+    a partition are sessionized in ONE vectorized pass (lexsort by (user, ts),
+    session start = user boundary or gap, per-user counts via reduceat) — the
+    groupby dispatch cost is O(partitions), not O(users), same pattern as the
+    near-dup bucket stages.  The shuffle carries only (user_id, ts).
     """
+    from engine.ops.dedup import _bucket_shuffle_parts
+
+    n_parts = _bucket_shuffle_parts()
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def count_sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
-        if ts.size == 0:
-            n_sessions = 0
-        else:
-            gaps = np.diff(ts) > gap_minutes * 60 * 1_000_000
-            n_sessions = 1 + int(gaps.sum())
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        uid = group.column("user_id").to_numpy()
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        sessions = np.add.reduceat(new_session.astype(np.int64), starts)
         return pa.table({
-            "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-            "n_events": pa.array([group.num_rows], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "n_sessions": pa.array(sessions),
         })
 
-    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pyarrow") \
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(sessionize_partition, batch_format="pyarrow") \
         .sort("user_id")
 
 

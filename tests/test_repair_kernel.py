@@ -258,3 +258,17 @@ def test_fenced_block_key_crash_case_is_graceful():
     # non-strict mode must also not crash
     result = repair_json(raw, return_objects=True, skip_json_loads=True)
     assert isinstance(result, (dict, list, str, int, float, bool, type(None)))
+
+
+def test_comment_fence_key_crash_case_is_graceful():
+    """Second instance of the reference's parse_object.py:195 AssertionError
+    (```json fence reached in key context through comment recursion); found
+    by round-2 differential fuzzing (125k trials, sole divergence).  This
+    engine repairs instead of crashing."""
+    raw = '/*x*/\'k\'k:.1/2key”x,{,\\\\"```json{\'k\'None/*x*/```json\t...{"a":1}'
+    import json as _json
+
+    result = repair_json(raw, return_objects=True, logging=True)
+    value, log = result
+    _json.dumps(value)                 # JSON-compatible
+    assert isinstance(log, list) and log
