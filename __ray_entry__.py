@@ -149,8 +149,9 @@ def _quality_scores_documents(sf_dir: str):
     from engine.ops.text import LangIdStage, TokenStatsStage
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    out = docs.map_batches(TokenStatsStage, batch_format="pyarrow", concurrency=(1, 4)) \
-        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    # Task pools: chained actor pools starve placement at low CPU counts.
+    out = docs.map_batches(TokenStatsStage(), batch_format="pyarrow") \
+        .map_batches(LangIdStage(), batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({
             "doc_id": t.column("doc_id"),
@@ -166,7 +167,7 @@ def _rolling_fingerprint(sf_dir: str):
     from engine.ops.text import FingerprintStage
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return docs.map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)) \
+    return docs.map_batches(FingerprintStage(), batch_format="pyarrow") \
         .map_batches(lambda t: t.select(["doc_id", "roll_fp"]), batch_format="pyarrow",
                      zero_copy_batch=True).sort("doc_id")
 

@@ -455,7 +455,7 @@ def fingerprint_md5_documents(sf_dir: str):
     from engine.ops.text import FingerprintStage
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4)) \
+        .map_batches(FingerprintStage(), batch_format="pyarrow") \
         .map_batches(lambda t: t.select(["doc_id", "md5"]), batch_format="pyarrow",
                      zero_copy_batch=True) \
         .sort("doc_id")
@@ -653,8 +653,11 @@ def lang_quality_documents(sf_dir: str):
     from engine.ops.text import LangIdStage, TokenStatsStage
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(TokenStatsStage, batch_format="pyarrow", concurrency=(1, 4)) \
-        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    # Task pools (driver-pickled instances): chained actor pools starve each
+    # other's placement at low CPU counts (observed hang at 2 CPUs), and
+    # these stages' state is a few compiled regexes.
+    out = docs.map_batches(TokenStatsStage(), batch_format="pyarrow") \
+        .map_batches(LangIdStage(), batch_format="pyarrow")
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang_pred", "ws_tokens", "n_digits",
                             "n_punct", "en_stops"]),
