@@ -369,7 +369,7 @@ def _codec_duration_quantiles(sf_dir: str):
     from engine.stages import salted_group_digests
 
     n = min(clips_count_for_sf_dir(sf_dir), 10_000)
-    ds = cached_clips_dataset(n, seed=42).select_columns(["clip_id", "codec", "dur_ms"])
+    ds = cached_clips_dataset(n, seed=42, columns=["clip_id", "codec", "dur_ms"])
     return salted_group_digests(ds, key="codec", value_col="dur_ms").sort("codec")
 
 

@@ -240,13 +240,15 @@ def clips_dataset(n_clips: int, *, seed: int = 42, parallelism: int = -1,
 
 
 def cached_clips_dataset(n_clips: int, *, seed: int = 42,
-                         cache_root: str = "/tmp/graft_clips_cache"):
+                         cache_root: str = "/tmp/graft_clips_cache",
+                         columns: list | None = None):
     """clips_dataset materialized once to partitioned parquet, then read back.
 
     Synthesis is deterministic, so the cache key is (n, seed).  Written to a
     temp dir then atomically renamed, so concurrent callers never see a
     partial table.  Reading parquet also exercises the real ingest path
-    (column pruning, row groups) that production would use.
+    (column pruning, row groups) that production would use — pass ``columns``
+    to prune at the read (a metadata-only query must not ship audio bytes).
     """
     import os
 
@@ -268,14 +270,18 @@ def cached_clips_dataset(n_clips: int, *, seed: int = 42,
             shutil.rmtree(path, ignore_errors=True)
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{os.getpid()}"
-        clips_dataset(n_clips, seed=seed).write_parquet(tmp)
+        # ~2000 rows (~45 MB of audio) per file: generation blocks are tiny,
+        # and writing one file per block produced hundreds of KB-sized files
+        # whose per-file overhead dominated every downstream read.
+        n_files = max(1, n_clips // 2000)
+        clips_dataset(n_clips, seed=seed).repartition(n_files).write_parquet(tmp)
         try:
             os.replace(tmp, path)
         except OSError:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)  # another writer won the race
-    return ray.data.read_parquet(path)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def clips_count_for_sf_dir(sf_dir: str) -> int:
