@@ -254,7 +254,10 @@ def cached_clips_dataset(n_clips: int, *, seed: int = 42,
 
     import ray.data
 
-    path = f"{cache_root}/n{n_clips}_seed{seed}"
+    # v2: ~2000-row files (v1 wrote one tiny file per generation block); the
+    # version token forces hosts with an old cache to rebuild in the new
+    # layout — row-count validation alone cannot tell the layouts apart.
+    path = f"{cache_root}/v2_n{n_clips}_seed{seed}"
     if os.path.isdir(path):
         # Validate the cache (guards against a partially-deleted build).
         import pyarrow.parquet as _pq

@@ -273,13 +273,10 @@ def _salt_partition(key: np.ndarray, band: np.ndarray, n_parts: int) -> np.ndarr
 
 
 def _bucket_shuffle_parts() -> int:
-    """Bucket-groupby partition count: ~4x CPUs so per-group Python overhead
-    is per-PARTITION, not per-bucket (the round-1 shape paid ~50µs of
-    map_groups dispatch per mostly-singleton bucket — thousands of groups;
-    this pays it ~4x#CPU times)."""
-    import ray
+    """Shared salted-partition policy — see engine.stages.bucket_shuffle_partitions."""
+    from engine.stages import bucket_shuffle_partitions
 
-    return max(32, 4 * int(ray.cluster_resources().get("CPU", 4)))
+    return bucket_shuffle_partitions()
 
 
 def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",

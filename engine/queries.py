@@ -555,11 +555,11 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     a partition are sessionized in ONE vectorized pass (lexsort by (user, ts),
     session start = user boundary or gap, per-user counts via reduceat) — the
     groupby dispatch cost is O(partitions), not O(users), same pattern as the
-    near-dup bucket stages.  The shuffle carries only (user_id, ts).
+    near-dup bucket stages.  The shuffle carries (user_id, ts, part:int32).
     """
-    from engine.ops.dedup import _bucket_shuffle_parts
+    from engine.stages import bucket_shuffle_partitions
 
-    n_parts = _bucket_shuffle_parts()
+    n_parts = bucket_shuffle_partitions()
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def add_part(batch: pa.Table) -> pa.Table:

@@ -583,6 +583,15 @@ def shuffle_partitions(n_rows: int, *, rows_per_partition: int = 2_000_000,
     return max(2, min(max(need, cpus // 2), cpus))
 
 
+def bucket_shuffle_partitions() -> int:
+    """Partition count for salted bucket-style groupbys: ~4x cluster CPUs so
+    per-group Python dispatch is per-PARTITION, not per-bucket/user (the
+    shared policy behind the near-dup bucket stages and sessionize)."""
+    import ray
+
+    return max(32, 4 * int(ray.cluster_resources().get("CPU", 4)))
+
+
 class BroadcastMap:
     """Compact broadcast lookup for dimension joins: parallel sorted-key /
     value numpy arrays instead of a Python dict (~10x smaller for int keys —

@@ -36,13 +36,20 @@ def test_validate_job_end_to_end(tmp_path):
     assert (out / "manifest" / "part=0.json").exists()
     assert list((out / "verdicts").rglob("*.parquet"))
 
-    # Second invocation resumes from manifests: identical verdict totals.
+    # Second invocation resumes from manifests.  Determinism would make the
+    # metrics identical even on a silent full recompute, so ALSO prove no
+    # partition was re-run: every verdict file and manifest must be untouched.
+    before = {str(p): p.stat().st_mtime_ns
+              for p in list(out.rglob("*.parquet")) + list((out / "manifest").glob("*.json"))}
     proc2 = _run_job(["validate", "--out", str(out), "--num-cpus", "4",
                       "--config", str(cfg)])
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     metrics2 = json.loads(proc2.stdout.strip().splitlines()[-1])
     for key in ("rows", "parse_ok", "audio_ok", "violations", "repairs"):
         assert metrics2[key] == metrics[key]
+    after = {str(p): p.stat().st_mtime_ns
+             for p in list(out.rglob("*.parquet")) + list((out / "manifest").glob("*.json"))}
+    assert after == before, "resume must not rewrite finished partitions"
 
 
 def test_unknown_command_rejected():

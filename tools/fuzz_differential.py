@@ -50,11 +50,12 @@ def _run(fn, raw: str, kwargs: dict):
         return None, type(exc).__name__
 
 
-def compare(raw: str, kwargs: dict) -> bool:
-    want = _run(ref_repair, raw, kwargs)
-    got = _run(my_repair, raw, kwargs)
+def compare(raw: str, kwargs: dict, *, ref_fn=ref_repair, my_fn=my_repair,
+            label: str = "") -> bool:
+    want = _run(ref_fn, raw, kwargs)
+    got = _run(my_fn, raw, kwargs)
     if want != got:
-        print(f"DIFF kwargs={kwargs} raw={raw!r}")
+        print(f"DIFF {label}kwargs={kwargs} raw={raw!r}")
         print(f"  ref : {want!r}"[:200])
         print(f"  mine: {got!r}"[:200])
         return False
@@ -114,19 +115,19 @@ def fuzz_chunked(n: int) -> int:
 
     from engine.repair import load as my_load
 
+    def ref_fn(r, **kw):
+        return ref_load(_io.StringIO(r), **kw)
+
+    def my_fn(r, **kw):
+        return my_load(_io.StringIO(r), **kw)
+
     bad = 0
     for _ in range(n):
-        s = _mutate_doc()
-        cl = random.choice([1, 2, 3, 5, 8, 64])
-        kwargs = {"chunk_length": cl}
+        kwargs = {"chunk_length": random.choice([1, 2, 3, 5, 8, 64])}
         if random.random() < 0.3:
             kwargs["skip_json_loads"] = True
-        want = _run(lambda r, **kw: ref_load(_io.StringIO(r), **kw), s, kwargs)
-        got = _run(lambda r, **kw: my_load(_io.StringIO(r), **kw), s, kwargs)
-        if want != got:
-            print(f"DIFF chunked kwargs={kwargs} raw={s!r}")
-            print(f"  ref : {want!r}"[:200])
-            print(f"  mine: {got!r}"[:200])
+        if not compare(_mutate_doc(), kwargs, ref_fn=ref_fn, my_fn=my_fn,
+                       label="chunked "):
             bad += 1
     return bad
 
