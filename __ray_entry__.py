@@ -313,6 +313,45 @@ def _image_dims(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True).sort("img_id")
 
 
+VIDEO_DIMS_N = 2048
+
+VIDEO_DIMS_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048))
+SELECT i AS vid_id,
+  (i % 7) <> 6 AS video_ok,
+  CAST(CASE WHEN i % 7 = 6 THEN 0 ELSE 3 + i % 6 END AS BIGINT) AS total_frames,
+  CAST(CASE WHEN i % 7 = 6 THEN 0 ELSE 5 + i % 20 END AS DOUBLE) AS fps,
+  CAST(CASE WHEN i % 7 = 6 THEN 4
+            ELSE least(3 + i % 6, 4) END AS BIGINT) AS n_sampled
+FROM ids ORDER BY vid_id
+"""
+
+
+def _video_dims(sf_dir: str):
+    """Hash-oracled video frame-sampling: the REAL PPMV index parse must
+    reproduce the generator's closed-form header metadata (fallback rows —
+    every 7th id is an opaque payload — modeled too).  Companion to
+    image_dims: the multimodal decode paths both hash against SQL."""
+    import ray.data
+
+    from engine.data.images import synth_video_batch
+    from engine.ops.multimodal import FrameSampleStage
+
+    ds = ray.data.range(VIDEO_DIMS_N).map_batches(
+        synth_video_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(FrameSampleStage(n_frames=4), batch_format="pyarrow",
+                         batch_size=512)
+    return out.map_batches(
+        lambda t: pa.table({
+            "vid_id": t.column("vid_id"),
+            "video_ok": t.column("video_ok"),
+            "total_frames": t.column("total_frames"),
+            "fps": t.column("fps"),
+            "n_sampled": pa.array(
+                [len(o) for o in t.column("frame_offsets").to_pylist()], pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True).sort("vid_id")
+
+
 def _video_frame_sample(sf_dir: str):
     """Synthesized PPMV clips → sampled-and-decoded frame metadata (real
     index-seek decode; every 7th payload exercises the fallback)."""
@@ -400,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": q_sample,
         "lang_quality_documents": q.lang_quality_documents,
         "image_dims": _image_dims,
+        "video_dims": _video_dims,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -444,4 +484,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "lang_quality_documents": q.LANG_QUALITY_SQL,
         "image_dims": IMAGE_DIMS_SQL,
+        "video_dims": VIDEO_DIMS_SQL,
     }
