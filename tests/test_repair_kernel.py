@@ -260,12 +260,16 @@ def test_fenced_block_key_crash_case_is_graceful():
     assert isinstance(result, (dict, list, str, int, float, bool, type(None)))
 
 
-def test_comment_fence_key_crash_case_is_graceful():
-    """Second instance of the reference's parse_object.py:195 AssertionError
-    (```json fence reached in key context through comment recursion); found
-    by round-2 differential fuzzing (125k trials, sole divergence).  This
-    engine repairs instead of crashing."""
-    raw = '/*x*/\'k\'k:.1/2key”x,{,\\\\"```json{\'k\'None/*x*/```json\t...{"a":1}'
+@pytest.mark.parametrize("raw", [
+    # Each found by differential fuzzing as the sole divergence of a long
+    # run; all crash the REFERENCE with the same internal AssertionError
+    # (parse_object.py:195 — ```json fence reached in key context).
+    '/*x*/\'k\'k:.1/2key”x,{,\\\\"```json{\'k\'None/*x*/```json\t...{"a":1}',   # 125k trials
+    'k:``,{”```json```[1,2]',                                             # 205k trials
+])
+def test_fence_in_key_crash_cases_are_graceful(raw):
+    """Instances of the reference's parse_object.py:195 AssertionError where
+    this engine repairs instead of crashing (intentional divergences)."""
     import json as _json
 
     result = repair_json(raw, return_objects=True, logging=True)
