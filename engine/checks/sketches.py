@@ -7,8 +7,9 @@ small actor / on the driver:
     s = Sketch(...); s.update(numpy_array); s.merge(other); s.summary()
     Sketch.from_state(s.state())   # plain-dict state → shippable via Arrow/JSON
 
-Numerics are vectorized (numpy); no Python loop touches row data except the
-t-digest centroid compression, which is O(centroids) not O(rows).
+Numerics are vectorized (numpy) — including t-digest compression, which
+assigns buffered points to k-space clusters with searchsorted/reduceat
+(no Python loop over row data anywhere).
 
 These generalize the reference's validate-or-reject contract to column level
 (SURVEY.md §2.D "Aggregations"); the reference itself has no aggregates.
@@ -63,9 +64,13 @@ class ColumnStats:
         return self
 
     def state(self) -> dict:
+        # min/max are None (not ±inf) for an empty sketch: inf is not valid
+        # JSON and breaks strict parsers reading the frozen baseline.
         return {
-            "count": self.count, "nulls": self.nulls, "min": self.vmin,
-            "max": self.vmax, "mean": self.mean, "m2": self.m2,
+            "count": self.count, "nulls": self.nulls,
+            "min": self.vmin if self.count else None,
+            "max": self.vmax if self.count else None,
+            "mean": self.mean, "m2": self.m2,
         }
 
     @classmethod
@@ -73,8 +78,8 @@ class ColumnStats:
         out = cls()
         out.count = int(s["count"])
         out.nulls = int(s["nulls"])
-        out.vmin = float(s["min"])
-        out.vmax = float(s["max"])
+        out.vmin = float(s["min"]) if s["min"] is not None else math.inf
+        out.vmax = float(s["max"]) if s["max"] is not None else -math.inf
         out.mean = float(s["mean"])
         out.m2 = float(s["m2"])
         return out
@@ -103,32 +108,47 @@ class TDigest:
     recompresses — associative up to quantile error ~1/compression.
     """
 
-    __slots__ = ("compression", "means", "weights", "_buf_m", "_buf_w")
+    __slots__ = ("compression", "means", "weights", "vmin", "vmax", "_buf_m", "_buf_w")
 
     def __init__(self, compression: int = 200) -> None:
         self.compression = compression
         self.means = np.empty(0)
         self.weights = np.empty(0)
+        self.vmin = math.inf
+        self.vmax = -math.inf
         self._buf_m: list[np.ndarray] = []
         self._buf_w: list[np.ndarray] = []
 
     def update(self, values: np.ndarray) -> None:
         if values.size == 0:
             return
-        self._buf_m.append(np.asarray(values, dtype=np.float64))
-        self._buf_w.append(np.ones(values.size))
-        if sum(m.size for m in self._buf_m) + self.means.size > 4 * self.compression:
+        # copy=True: buffering a view of the caller's array would silently
+        # corrupt the digest if the caller reuses its batch buffer.
+        vals = np.array(values, dtype=np.float64, copy=True)
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        self._buf_m.append(vals)
+        self._buf_w.append(np.ones(vals.size))
+        # Flush at ~20x compression: compression cost is one argsort of the
+        # buffer, so a bigger buffer amortizes it (accuracy is unchanged —
+        # the k-space invariant is enforced at every compress).
+        if sum(m.size for m in self._buf_m) + self.means.size > 20 * self.compression:
             self._compress()
 
     def merge(self, other: "TDigest") -> "TDigest":
         other._compress()
         if other.means.size:
+            self.vmin = min(self.vmin, other.vmin)
+            self.vmax = max(self.vmax, other.vmax)
             self._buf_m.append(other.means)
             self._buf_w.append(other.weights)
         self._compress()
         return self
 
     def _compress(self) -> None:
+        """Vectorized k-space merge (textbook MergingDigest): each sorted
+        point lands in the cluster floor(k(q_end)); clusters then reduce via
+        reduceat — no Python loop over points."""
         if not self._buf_m and self.means.size <= 2 * self.compression:
             return
         if self.means.size:
@@ -141,43 +161,31 @@ class TDigest:
         self._buf_m, self._buf_w = [], []
         order = np.argsort(m, kind="mergesort")
         m, w = m[order], w[order]
-        total = w.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        q0 = 0.0
-        cur_m, cur_w = m[0], w[0]
-        k_limit = self._k_inv(self._k(q0) + 1.0, )
-        for i in range(1, m.size):
-            q = q0 + (cur_w + w[i]) / total
-            if q <= k_limit:
-                cur_m += (m[i] - cur_m) * w[i] / (cur_w + w[i])
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                k_limit = self._k_inv(self._k(q0) + 1.0)
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+        q_end = np.cumsum(w) / w.sum()
+        k_end = self._k_vec(q_end)
+        cluster = np.floor(k_end - 1e-12).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], cluster[1:] != cluster[:-1]]))
+        sum_w = np.add.reduceat(w, starts)
+        sum_wm = np.add.reduceat(w * m, starts)
+        self.means = sum_wm / sum_w
+        self.weights = sum_w
 
-    def _k(self, q: float) -> float:
-        return self.compression * (math.asin(2 * min(max(q, 0.0), 1.0) - 1) / math.pi + 0.5)
-
-    def _k_inv(self, k: float) -> float:
-        return (math.sin(min(k, self.compression) * math.pi / self.compression - math.pi / 2) + 1) / 2
+    def _k_vec(self, q: np.ndarray) -> np.ndarray:
+        q = np.clip(q, 0.0, 1.0)
+        return self.compression * (np.arcsin(2 * q - 1) / math.pi + 0.5)
 
     def quantile(self, q: float) -> float:
         self._compress()
         if self.means.size == 0:
             return float("nan")
-        if self.means.size == 1:
-            return float(self.means[0])
+        total = float(self.weights.sum())
+        # Dunning-style tails: interpolate the first/last half-centroid down
+        # to the tracked min/max so p0/p100 (and extreme tail quantiles) hit
+        # the true extremes instead of clamping at interior centroid means.
         cum = np.cumsum(self.weights) - self.weights / 2
-        target = q * self.weights.sum()
-        return float(np.interp(target, cum, self.means))
+        xp = np.concatenate([[0.0], cum, [total]])
+        fp = np.concatenate([[self.vmin], self.means, [self.vmax]])
+        return float(np.interp(q * total, xp, fp))
 
     def state(self) -> dict:
         self._compress()
@@ -185,6 +193,8 @@ class TDigest:
             "compression": self.compression,
             "means": self.means.tolist(),
             "weights": self.weights.tolist(),
+            "min": self.vmin if self.means.size else None,
+            "max": self.vmax if self.means.size else None,
         }
 
     @classmethod
@@ -192,6 +202,13 @@ class TDigest:
         out = cls(int(s["compression"]))
         out.means = np.array(s["means"], dtype=np.float64)
         out.weights = np.array(s["weights"], dtype=np.float64)
+        # Older states carry no min/max: fall back to the edge centroids.
+        vmin, vmax = s.get("min"), s.get("max")
+        if vmin is None:
+            vmin = float(out.means[0]) if out.means.size else math.inf
+        if vmax is None:
+            vmax = float(out.means[-1]) if out.means.size else -math.inf
+        out.vmin, out.vmax = float(vmin), float(vmax)
         return out
 
 
@@ -199,7 +216,10 @@ class TDigest:
 
 
 class HyperLogLog:
-    """HyperLogLog++ (dense; 64-bit hashes, bias-free long-range estimator)."""
+    """Dense HyperLogLog with 64-bit hashes (no 32-bit far-range correction
+    needed) and linear counting for the small range — classic Flajolet
+    estimator; the HLL++ mid-range empirical bias table is NOT implemented
+    (measured error in the transition region ~0.4% at p=14)."""
 
     __slots__ = ("p", "m", "registers")
 
@@ -285,7 +305,10 @@ class BloomFilter:
 
     def _positions(self, values) -> np.ndarray:
         h1 = HyperLogLog.hash64(values)
-        h2 = (h1 >> np.uint64(33)) | np.uint64(1)   # odd → full-period stride
+        # |1 avoids a zero stride; note m = 64*ceil(m/64) has odd factors,
+        # so an odd h2 sharing one gives a sub-m probe period — acceptable
+        # because k << period for every practical filter size.
+        h2 = (h1 >> np.uint64(33)) | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)[:, None]
         return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
 
@@ -329,13 +352,27 @@ class Histogram:
         self.counts = np.zeros(self.edges.size + 1, dtype=np.int64)  # under/overflow bins
 
     def update(self, values: np.ndarray) -> None:
-        if values.size:
-            self.counts += np.bincount(
-                np.searchsorted(self.edges, values, side="right"),
-                minlength=self.counts.size,
-            )
+        if not values.size:
+            return
+        if np.issubdtype(values.dtype, np.floating):
+            values = values[~np.isnan(values)]      # NaN is not "overflow"
+            if not values.size:
+                return
+        idx = np.searchsorted(self.edges, values, side="right")
+        # np.histogram convention: the rightmost edge belongs to the last
+        # interior bin, not to overflow.
+        idx[values == self.edges[-1]] = self.edges.size - 1
+        self.counts += np.bincount(idx, minlength=self.counts.size)
+
+    def _require_same_edges(self, other: "Histogram") -> None:
+        if self.edges.size != other.edges.size or \
+                not np.array_equal(self.edges, other.edges):
+            raise ValueError(
+                "histogram edges differ — merging/comparing by bin index "
+                "would be silently wrong; re-freeze the baseline sketch")
 
     def merge(self, other: "Histogram") -> "Histogram":
+        self._require_same_edges(other)
         self.counts += other.counts
         return self
 
@@ -351,6 +388,7 @@ class Histogram:
 
 def psi(expected: Histogram, observed: Histogram, eps: float = 1e-6) -> float:
     """Population Stability Index between two same-edged histograms."""
+    expected._require_same_edges(observed)
     e = expected.counts.astype(np.float64)
     o = observed.counts.astype(np.float64)
     e = np.clip(e / max(e.sum(), 1.0), eps, None)
@@ -360,6 +398,7 @@ def psi(expected: Histogram, observed: Histogram, eps: float = 1e-6) -> float:
 
 def ks_statistic(expected: Histogram, observed: Histogram) -> float:
     """Kolmogorov–Smirnov D statistic from binned CDFs (same edges)."""
+    expected._require_same_edges(observed)
     e = expected.counts.astype(np.float64)
     o = observed.counts.astype(np.float64)
     e_cdf = np.cumsum(e) / max(e.sum(), 1.0)
