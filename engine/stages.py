@@ -20,6 +20,7 @@ first (reference json_repair.py:166-189 economics: ~50-100x cheaper).
 
 from __future__ import annotations
 
+import functools
 import json
 
 import numpy as np
@@ -28,7 +29,7 @@ import pyarrow.compute as pc
 
 from engine.audio import ALL_CODECS, check_clip_audio
 from engine.checks.sketches import ColumnStats, Histogram, HyperLogLog, TDigest
-from engine.data.clips import LANGS, TRANSCRIPT_SCHEMA
+from engine.data.clips import TRANSCRIPT_SCHEMA
 from engine.repair.api import repair_json
 from engine.repair.schema import SchemaFixer
 
@@ -58,7 +59,11 @@ class TranscriptRepairStage:
         # it is opt-in defense-in-depth.
         self.double_check = double_check
 
-    def repair_one(self, raw: str | None) -> tuple[bool, str | None, int, str | None]:
+    def repair_one(self, raw: str | None):
+        """Returns (ok, fixed OBJECT or None, n_repairs, error) — the object,
+        not its serialization, so the caller extracts fields and serializes
+        exactly once (the old dumps-then-loads round-trip doubled the JSON
+        cost of the happy path)."""
         # Fast path: strict parse, then schema repair of the parsed object.
         raw = raw or ""
         try:
@@ -77,7 +82,7 @@ class TranscriptRepairStage:
                 self.fixer.validate(fixed, self.schema)
         except ValueError as exc:
             return False, None, n_repairs, f"schema: {exc}"
-        return True, json.dumps(fixed, sort_keys=True), n_repairs, None
+        return True, fixed, n_repairs, None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raws = batch.column("transcript").to_pylist()
@@ -89,19 +94,22 @@ class TranscriptRepairStage:
         confs = np.full(len(raws), np.nan)
         text_lens = np.zeros(len(raws), dtype=np.int32)
         for i, raw in enumerate(raws):
-            good, fixed, n, err = self.repair_one(raw)
+            good, doc, n, err = self.repair_one(raw)
             ok[i] = good
-            repaired.append(fixed)
             counts[i] = n
             errors.append(err)
             if good:
-                doc = json.loads(fixed)
-                langs.append(doc.get("lang"))
-                conf = doc.get("confidence")
-                if isinstance(conf, (int, float)):
-                    confs[i] = conf
-                text_lens[i] = len(doc.get("text", ""))
+                repaired.append(json.dumps(doc, sort_keys=True))
+                if isinstance(doc, dict):
+                    langs.append(doc.get("lang"))
+                    conf = doc.get("confidence")
+                    if isinstance(conf, (int, float)):
+                        confs[i] = conf
+                    text_lens[i] = len(doc.get("text", ""))
+                else:
+                    langs.append(None)
             else:
+                repaired.append(None)
                 langs.append(None)
         return batch.append_column("parse_ok", pa.array(ok)) \
             .append_column("repaired", pa.array(repaired, pa.string())) \
@@ -138,7 +146,10 @@ class AudioCheckStage:
         # Vectorized flat-column checks first.
         sr_ok = (srs >= SR_RANGE[0]) & (srs <= SR_RANGE[1])
         dur_ok = (durs > 0) & (durs <= 60_000)
-        codec_ok = np.array([c in self.allowed_codecs for c in codecs])
+        # fromiter with dtype=bool: a plain np.array over ZERO codecs yields
+        # float64 and `&` then raises (empty blocks at high parallelism).
+        codec_ok = np.fromiter((c in self.allowed_codecs for c in codecs),
+                               dtype=bool, count=n)
         meta_ok = sr_ok & dur_ok & codec_ok
         meta_err = [
             None if m else ("sr_out_of_range" if not s else ("bad_duration" if not d else "unknown_codec"))
@@ -213,8 +224,10 @@ def sketch_partials_batch(batch: pa.Table) -> pa.Table:
     hll = HyperLogLog()
     hll.update(np.asarray(batch.column("clip_id").to_pylist(), dtype=object))
 
+    # No clipping: Histogram keeps explicit under/overflow bins precisely so
+    # out-of-range drift (SNR past 120 dB, negative SNR) is VISIBLE to PSI.
     h_snr = Histogram(SNR_EDGES)
-    h_snr.update(np.clip(snr_valid, 0, 119.9))
+    h_snr.update(snr_valid)
     h_dur = Histogram(DUR_EDGES)
     h_dur.update(durs)
     h_conf = Histogram(CONF_EDGES)
@@ -363,9 +376,7 @@ def fk_check_batch(batch: pa.Table, bloom_state_ref, exact_ref,
     """Broadcast Bloom probe + exact verify; appends fk_ok column."""
     import ray
 
-    from engine.checks.sketches import BloomFilter
-
-    bloom = BloomFilter.from_state(ray.get(bloom_state_ref))
+    bloom = _bloom_from_ref(bloom_state_ref)   # per-worker deserialize-once
     keys = np.asarray(batch.column(fk_col).to_pylist(), dtype=object)
     maybe = bloom.contains(keys)
     # Bloom negatives are definitively absent (no false negatives) -> orphans.
@@ -491,34 +502,14 @@ def combine_partial_states(states: list[dict]) -> dict:
 
 
 def tree_merge_partials(partials_ds, *, fan_in: int = 64, driver_threshold: int = 256):
-    """Reduce a Dataset of sketch-partial rows with bounded driver intake.
-
-    Rounds of within-block merges (each block of <= fan_in rows collapses to
-    one) until at most ``driver_threshold`` rows remain, then a driver merge.
-    At 10^12-row scale the driver never sees more than threshold rows
-    (SCALE.md gap #1).  Returns the merged dict of live sketch objects.
+    """Clips-pipeline specialization of :func:`tree_reduce_states` (same
+    bounded-driver tree reduction; column name ``partial``, combine =
+    combine_partial_states).  Returns the merged dict of live sketch objects.
     """
-    def merge_block(batch: pa.Table) -> pa.Table:
-        states = [json.loads(s) for s in batch.column("partial").to_pylist()]
-        if not states:
-            return batch
-        return pa.table({"partial": pa.array([json.dumps(combine_partial_states(states))],
-                                             pa.large_string())})
-
-    # Pin the (tiny) state rows before counting: a lazy Dataset re-executes
-    # its whole upstream lineage on EVERY count()/take_all(), so an
-    # un-materialized input would be scanned once per round plus twice more
-    # (round-2 code review: a 10-block stage ran 20x).  Each round's output
-    # is pinned for the same reason.
-    partials_ds = partials_ds.materialize()
-    count = partials_ds.count()
-    while count > driver_threshold:
-        n_blocks = max(1, -(-count // fan_in))
-        partials_ds = partials_ds.repartition(n_blocks).map_batches(
-            merge_block, batch_size=fan_in, batch_format="pyarrow",
-            zero_copy_batch=True).materialize()
-        count = partials_ds.count()
-    return merge_sketch_partials([json.loads(r["partial"]) for r in partials_ds.take_all()])
+    state = tree_reduce_states(partials_ds, combine_partial_states,
+                               state_col="partial", fan_in=fan_in,
+                               driver_threshold=driver_threshold)
+    return merge_sketch_partials([state] if state is not None else [])
 
 
 def tree_reduce_states(states_ds, combine, *, state_col: str = "state",
@@ -580,7 +571,9 @@ def shuffle_partitions(n_rows: int, *, rows_per_partition: int = 2_000_000,
     if cpus is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     need = -(-n_rows // rows_per_partition) if n_rows > 0 else 1
-    return max(2, min(max(need, cpus // 2), cpus))
+    # Floor at 2 only when >=2 CPUs exist: the cpus cap must win on a 1-CPU
+    # worker (num_partitions > CPUs stalls the join aggregator pool).
+    return max(min(2, cpus), min(max(need, cpus // 2), cpus))
 
 
 def bucket_shuffle_partitions() -> int:
@@ -621,17 +614,36 @@ class BroadcastMap:
         return self.values[idx], found
 
 
-def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
-                        fp_rate: float = 1e-4, num_partitions: int | None = None):
-    """Scale-path referential check (SCALE.md gap #2): distributed Bloom
-    prefilter + exact anti-join of the suspects.
+@functools.lru_cache(maxsize=8)
+def _bloom_from_ref(ref):
+    """Per-worker-process cache: deserializing the full bitset from its hex
+    state once per BATCH (round-2 review finding) copies GBs over a long run;
+    ObjectRefs are hashable, so each worker pays the decode once."""
+    import ray
 
-    The dimension side is never broadcast as an exact set: per-batch partial
-    Bloom filters are OR-merged on the driver (size = one bitset, not one per
-    row), suspects are the rows failing the Bloom, and exactness comes from a
-    groupby-based hash anti-join of just the suspects against the dimension
-    keys (a tagged union + per-key group check — the groupby shuffle is
-    robust to the near-empty suspect side, unlike a two-sided hash join).
+    from engine.checks.sketches import BloomFilter
+
+    state = ray.get(ref)
+    return BloomFilter.from_state(state) if state is not None else None
+
+
+def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
+                        fp_rate: float = 1e-4, exact: bool = True,
+                        num_partitions: int | None = None):
+    """Scale-path referential check (SCALE.md gap #2).
+
+    exact=True (default): tagged-union groupby anti-join over ALL keys — the
+    all-to-all carries only the 8-byte key column of each side, and the
+    per-key group check is robust to empty blocks.  Recall is exactly 1.
+
+    exact=False: distributed-Bloom prefilter.  Bloom MISSES are definite
+    orphans (no false negatives), so the output has precision 1 — but an
+    orphan key that collides in the filter is MISSED: orphan recall is
+    1 - fp_rate.  This is the cheap screening mode (no key shuffle at all);
+    it is NOT exact, which is why it is opt-in.  (A previous revision labeled
+    this path exact — wrong side of the filter needs verification; fixed per
+    round-2 review.)
+
     Returns a Dataset of orphan fact rows (fact_key column only).
     ``num_partitions`` accepted for API stability; the groupby sizes itself.
     """
@@ -639,46 +651,51 @@ def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
 
     from engine.checks.sketches import BloomFilter
 
-    dim_count = dim_ds.count()
+    dim_ds = dim_ds.select_columns([dim_key]).materialize()  # used 2-3x below
+    fact_keys_ds = fact_ds.select_columns([fact_key])
 
-    def partial_bloom(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(max(dim_count, 1024), fp_rate)
-        bf.add(np.asarray(batch.column(dim_key).to_pylist(), dtype=object))
-        return pa.table({"state": pa.array([json.dumps(bf.state())], pa.large_string())})
+    if not exact:
+        dim_count = dim_ds.count()
 
-    def combine_blooms(states: list[dict]) -> dict:
-        merged = None
-        for st in states:
-            bf = BloomFilter.from_state(st)
-            merged = bf if merged is None else merged.merge(bf)
-        return merged.state()
+        def partial_bloom(batch: pa.Table) -> pa.Table:
+            bf = BloomFilter(max(dim_count, 1024), fp_rate)
+            bf.add(np.asarray(batch.column(dim_key).to_pylist(), dtype=object))
+            return pa.table({"state": pa.array([json.dumps(bf.state())], pa.large_string())})
 
-    # Partial Blooms are full-geometry bitsets (they must share m to OR), so
-    # one-per-batch driver intake would be #batches x bitset at 10^12 scale —
-    # tree-reduce them in workers with a small fan-in (states are big) and
-    # hand the driver the final bitset only.
-    bloom_state = tree_reduce_states(
-        dim_ds.select_columns([dim_key]).map_batches(
-            partial_bloom, batch_format="pyarrow", zero_copy_batch=True),
-        combine_blooms, fan_in=16, driver_threshold=16)
-    bloom_ref = ray.put(bloom_state)
+        def combine_blooms(states: list[dict]) -> dict:
+            merged = None
+            for st in states:
+                bf = BloomFilter.from_state(st)
+                merged = bf if merged is None else merged.merge(bf)
+            return merged.state()
 
-    def suspects(batch: pa.Table) -> pa.Table:
-        state = ray.get(bloom_ref)
-        keys = batch.column(fact_key)
-        if state is None:
-            mask = np.ones(batch.num_rows, dtype=bool)
-        else:
-            bf = BloomFilter.from_state(state)
-            mask = ~bf.contains(np.asarray(keys.to_pylist(), dtype=object))
-        return pa.table({
-            "key": keys.filter(pa.array(mask)),
-            "is_dim": pa.array(np.zeros(int(mask.sum()), dtype=bool)),
-        })
+        # Partial Blooms are full-geometry bitsets (they must share m to OR):
+        # tree-reduce them in workers with a small fan-in (states are big)
+        # and hand the driver the final bitset only.
+        bloom_state = tree_reduce_states(
+            dim_ds.map_batches(partial_bloom, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            combine_blooms, fan_in=16, driver_threshold=16)
+        bloom_ref = ray.put(bloom_state)
 
-    suspect_ds = fact_ds.select_columns([fact_key]).map_batches(
-        suspects, batch_format="pyarrow", zero_copy_batch=True)
-    dim_tagged = dim_ds.select_columns([dim_key]).map_batches(
+        def definite_orphans(batch: pa.Table) -> pa.Table:
+            bf = _bloom_from_ref(bloom_ref)
+            keys = batch.column(fact_key)
+            if bf is None:
+                return pa.table({fact_key: keys})
+            miss = ~bf.contains(np.asarray(keys.to_pylist(), dtype=object))
+            return pa.table({fact_key: keys.filter(pa.array(miss))})
+
+        return fact_keys_ds.map_batches(definite_orphans, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    fact_tagged = fact_keys_ds.map_batches(
+        lambda t: pa.table({
+            "key": t.column(fact_key),
+            "is_dim": pa.array(np.zeros(t.num_rows, dtype=bool)),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+    dim_tagged = dim_ds.map_batches(
         lambda t: pa.table({
             "key": t.column(dim_key),
             "is_dim": pa.array(np.ones(t.num_rows, dtype=bool)),
@@ -692,6 +709,6 @@ def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
         keys = group.column("key")
         return pa.table({fact_key: keys})
 
-    return suspect_ds.union(dim_tagged).groupby("key").map_groups(
+    return fact_tagged.union(dim_tagged).groupby("key").map_groups(
         orphan_groups, batch_format="pyarrow")
 

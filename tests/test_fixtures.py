@@ -258,3 +258,42 @@ def test_broadcast_map_lookup():
     empty = BroadcastMap(np.array([], dtype=np.int64), np.array([], dtype=np.int8))
     vals, found = empty.lookup(np.array([1, 2], dtype=np.int64))
     assert found.tolist() == [False, False]
+
+
+def test_fk_semijoin_exact_catches_bloom_collisions(ray_session):
+    """Round-2 review finding: Bloom misses are definite orphans, but an
+    orphan key COLLIDING in the filter must still be caught — only the exact
+    (default) mode guarantees that; the screening mode documents recall
+    1 - fp_rate and must still never report a valid key as orphan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.checks.sketches import BloomFilter
+    from engine.stages import fk_orphans_semijoin
+
+    dim_keys = [f"d-{i:05d}" for i in range(2000)]
+    # Reconstruct the filter geometry fk_orphans_semijoin(fp_rate=0.02) uses
+    # and hunt for an orphan key that false-positives in it.
+    bf = BloomFilter(2000, 0.02)
+    bf.add(np.asarray(dim_keys, dtype=object))
+    colliding = next(
+        (f"orphan-{j}" for j in range(200_000)
+         if bf.contains(np.asarray([f"orphan-{j}"], dtype=object))[0]), None)
+    assert colliding is not None, "no collision found; raise the search range"
+
+    dim = ray.data.from_arrow(pa.table({"k": pa.array(dim_keys, pa.string())}))
+    fact = ray.data.from_arrow(pa.table({"k": pa.array(
+        dim_keys[:500] + [colliding, "orphan-plain"], pa.string())}))
+
+    exact = sorted(r["k"] for r in fk_orphans_semijoin(
+        fact, dim, fact_key="k", dim_key="k", fp_rate=0.02).take_all())
+    assert exact == sorted([colliding, "orphan-plain"])
+
+    screened = sorted(r["k"] for r in fk_orphans_semijoin(
+        fact, dim, fact_key="k", dim_key="k", fp_rate=0.02,
+        exact=False).take_all())
+    # precision 1 (never flags a valid key); the colliding orphan is missed
+    assert "orphan-plain" in screened
+    assert colliding not in screened
+    assert not set(screened) & set(dim_keys)
