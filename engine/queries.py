@@ -269,7 +269,9 @@ def orphan_orders(sf_dir: str):
     def probe(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        bf = BloomFilter.from_state(ray.get(bloom_ref))
+        from engine.stages import _bloom_from_ref
+
+        bf = _bloom_from_ref(bloom_ref)     # per-worker deserialize-once
         ck = batch.column("o_custkey").to_numpy()
         # Bloom negatives are definite orphans (no false negatives); positives
         # carry the fp rate, so exact-verify them — the graded contract is
