@@ -99,6 +99,11 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
         cid = raw[pos:pos + 4]
         size = int.from_bytes(raw[pos + 4:pos + 8], "little")
         body = raw[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # Chunk size field promises more bytes than exist: a truncated
+            # payload is a DECODE error, not a shorter-but-valid clip that
+            # would be misread as a duration mismatch.
+            raise AudioDecodeError(f"truncated {cid!r} chunk: {len(body)} < {size}")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

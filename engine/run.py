@@ -79,7 +79,8 @@ def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=Non
     stage_kwargs = {"schema": schema,
                     "min_snr_db": MIN_SNR_DB if min_snr_db is None else min_snr_db}
     if fused:
-        concurrency = repair_concurrency or _fused_concurrency()
+        # One pool in fused mode: honor whichever bound the caller passed.
+        concurrency = repair_concurrency or audio_concurrency or _fused_concurrency()
         return ds.map_batches(
             ClipCheckStage,
             fn_constructor_kwargs=stage_kwargs,
@@ -134,10 +135,6 @@ def attach_fk_check(ds, seed: int = 42):
     )
 
 
-def _merge_columnstats_summaries(merged: dict) -> dict:
-    return {col: s.summary() for col, s in merged["stats"].items()}
-
-
 def drift_report(hists: dict, baseline_path: Path = BASELINE_SKETCH_PATH) -> dict:
     """PSI + KS of this run's histograms vs the frozen baseline sketch."""
     if not baseline_path.exists():
@@ -149,11 +146,15 @@ def drift_report(hists: dict, baseline_path: Path = BASELINE_SKETCH_PATH) -> dic
             continue
         expected = Histogram.from_state(state)
         observed = hists[col]
-        out[col] = {
-            "psi": round(psi(expected, observed), 6),
-            "ks": round(ks_statistic(expected, observed), 6),
-            "drifted": psi(expected, observed) > 0.2,
-        }
+        try:
+            p = psi(expected, observed)
+            k = ks_statistic(expected, observed)
+        except ValueError as exc:
+            # Edge layouts diverged (baseline frozen under different bin
+            # edges): report incompatibility instead of crashing finalize
+            # after every partition has already been computed.
+            return {"available": False, "reason": f"incompatible baseline: {exc}"}
+        out[col] = {"psi": round(p, 6), "ks": round(k, 6), "drifted": p > 0.2}
     return out
 
 
@@ -174,23 +175,39 @@ def run_validation(
     (out / "manifest").mkdir(parents=True, exist_ok=True)
     per_part = -(-n_clips // n_partitions)
     t_start = time.time()
+    run_params = {
+        "seed": seed,
+        "min_snr_db": min_snr_db,
+        "schema_key": json.dumps(schema, sort_keys=True) if schema else None,
+    }
 
     all_metrics: list[dict] = []
+    n_processed = 0
     for part in range(n_partitions):
         manifest_path = out / "manifest" / f"part={part}.json"
-        if resume and manifest_path.exists():
-            all_metrics.append(json.loads(manifest_path.read_text())["metrics"])
-            continue
         lo = part * per_part
         hi = min(lo + per_part, n_clips)
         if lo >= hi:
             continue
+        if resume and manifest_path.exists():
+            manifest = json.loads(manifest_path.read_text())
+            # A manifest only proves completion of the SAME work: a changed
+            # row range, seed, or check config must recompute, or resumed
+            # output silently mixes runs (round-2 review finding 2).
+            params_ok = (manifest.get("run_params") == run_params
+                         if "run_params" in manifest
+                         else manifest.get("seed") == seed)
+            if manifest.get("row_range") == [lo, hi] and params_ok:
+                all_metrics.append(manifest["metrics"])
+                continue
+            manifest_path.unlink()           # stale: fall through to recompute
         metrics = _run_partition(part, lo, hi, out, seed, batch_size, concurrency,
                                  min_snr_db=min_snr_db, schema=schema)
         manifest = {
             "partition": part,
             "row_range": [lo, hi],
             "seed": seed,
+            "run_params": run_params,
             "engine_version": "0.1.0",
             "written_at": time.time(),
             "metrics": metrics,
@@ -199,10 +216,14 @@ def run_validation(
         tmp.write_text(json.dumps(manifest))
         os.replace(tmp, manifest_path)  # atomic: manifest present == partition done
         all_metrics.append(metrics)
+        n_processed += hi - lo
 
     summary = _finalize(all_metrics, out)
     summary["wall_s"] = round(time.time() - t_start, 3)
-    summary["clips_per_s"] = round(n_clips / max(summary["wall_s"], 1e-9), 1)
+    # Throughput counts only rows processed THIS invocation: a fully-resumed
+    # run did ~no processing and must not report n_clips/0.1s.
+    summary["clips_processed"] = n_processed
+    summary["clips_per_s"] = round(n_processed / max(summary["wall_s"], 1e-9), 1)
     (out / "metrics.json").write_text(json.dumps(summary, default=str, indent=2))
     return summary
 
@@ -243,8 +264,10 @@ def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
     # a) verdict rows (resumable layout: one dir per partition)
     slim.select_columns(VERDICT_COLS).write_parquet(str(out / "verdicts" / f"part={part}"))
 
-    # b) violation rows
-    viol = slim.map_batches(violations_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # b) violation rows (materialized once: a lazy write+count would execute
+    #    violations_batch twice)
+    viol = slim.map_batches(violations_batch, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
     viol.write_parquet(str(out / "violations" / f"part={part}"))
     n_violations = viol.count()
 
@@ -297,6 +320,21 @@ def _run_partition(part: int, lo: int, hi: int, out: Path, seed: int,
     }
 
 
+def _global_duplicate_groups(out: Path) -> int:
+    """Exact count of clip_id groups appearing more than once across ALL
+    partitions' verdicts (key-only read + key-only shuffle)."""
+    import ray.data
+
+    verdicts = out / "verdicts"
+    if not verdicts.exists():
+        return 0
+    ds = ray.data.read_parquet(str(verdicts), columns=["clip_id"])
+    dups = ds.groupby("clip_id").count().map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("count()"), 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return dups.count()
+
+
 def _finalize(parts: list[dict], out: Path) -> dict:
     from engine.checks.sketches import ColumnStats, HyperLogLog
 
@@ -312,7 +350,12 @@ def _finalize(parts: list[dict], out: Path) -> dict:
         for col, st in p["hists"].items():
             h = Histogram.from_state(st)
             hists[col] = hists[col].merge(h) if col in hists else h
-    dup_total = sum(len(p["duplicate_ids"]) for p in parts)
+    # GLOBAL exact dedup over the written verdicts: per-partition groupbys
+    # cannot see a duplicate id pair split across a partition boundary
+    # (round-2 review finding 1 — the planted dup_id collides with the
+    # PREVIOUS row, exactly the boundary case).  The scan reads only the
+    # 8-byte-ish key column of the partitioned parquet.
+    dup_total = _global_duplicate_groups(out)
     partition_pass = [p["violations"] == 0 and not p["duplicate_ids"] for p in parts]
     return {
         "rows": rows,

@@ -385,10 +385,19 @@ def fk_check_batch(batch: pa.Table, bloom_state_ref, exact_ref,
     # replace this with a hash-shuffle semi-join of the positives.
     ok = np.zeros(len(keys), dtype=bool)
     if maybe.any():
-        truth = ray.get(exact_ref)
+        truth = _broadcast_from_ref(exact_ref)   # per-worker fetch-once
         pos = np.nonzero(maybe)[0]
         ok[pos] = [keys[j] in truth for j in pos]
     return batch.append_column("fk_ok", pa.array(ok))
+
+
+@functools.lru_cache(maxsize=8)
+def _broadcast_from_ref(ref):
+    """Per-worker-process cache of a broadcast object (same rationale as
+    _bloom_from_ref: the exact key set was re-fetched per batch)."""
+    import ray
+
+    return ray.get(ref)
 
 
 # ---------------------------------------------------------------- violations

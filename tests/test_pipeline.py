@@ -129,3 +129,55 @@ def test_crash_mid_partition_resume_is_exactly_once(ray_session, tmp_path):
     assert df_clean.equals(df_resumed)
     for key in ("rows", "parse_ok", "audio_ok", "meta_ok", "violations", "repairs"):
         assert m_resumed[key] == m_clean[key]
+
+
+def test_cross_partition_duplicates_detected(ray_session, tmp_path):
+    """Round-2 review finding 1: a planted dup pair (row 436 carries row
+    435's clip_id) split across a partition boundary must still be counted.
+    With per_part=436 the pair straddles partitions 0|1 exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.run import run_validation
+
+    out = tmp_path / "xpart"
+    # n=872, 2 partitions -> per_part=436: rows 0-435 | 436-871.
+    m = run_validation(872, str(out), n_partitions=2, batch_size=128)
+
+    files = glob.glob(str(out / "verdicts" / "**" / "*.parquet"), recursive=True)
+    ids = pq.read_table(files, columns=["clip_id"]).column("clip_id").to_pylist()
+    from collections import Counter
+    exact_groups = sum(1 for c in Counter(ids).values() if c > 1)
+    assert exact_groups >= 1
+    assert m["duplicate_id_groups"] == exact_groups
+    # the boundary pair specifically
+    assert Counter(ids)["clip-000000000435"] == 2
+    assert not m["overall_pass"]
+
+
+def test_resume_rejects_mismatched_manifests(ray_session, tmp_path):
+    """Round-2 review finding 2: a manifest from a DIFFERENT run shape
+    (row range / params) must be recomputed, not silently resumed."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.run import run_validation
+
+    out = tmp_path / "mismatch"
+    m1 = run_validation(400, str(out), n_partitions=2, batch_size=128)
+    assert m1["rows"] == 400 and m1["clips_processed"] == 400
+
+    # Same out dir, doubled corpus: old manifests cover [0,200) and
+    # [200,400) but the new ranges are [0,400) and [400,800).
+    m2 = run_validation(800, str(out), n_partitions=2, batch_size=128)
+    assert m2["rows"] == 800
+    assert m2["clips_processed"] == 800          # nothing stale was reused
+    files = glob.glob(str(out / "verdicts" / "**" / "*.parquet"), recursive=True)
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 800
+
+    # Unchanged parameters now resume cleanly with zero processing.
+    m3 = run_validation(800, str(out), n_partitions=2, batch_size=128)
+    assert m3["rows"] == 800 and m3["clips_processed"] == 0
