@@ -99,12 +99,8 @@ def _knn_lsh_top10(sf_dir: str):
     # Round before the global cut and tiebreak on vec_id (deterministic order
     # even with duplicate embeddings — same convention as knn_cosine_top10).
     cand = knn_lsh(emb, _query_vector(sf_dir), k=20, max_hamming=3,
-                   keep_all_candidates=True)
-    return cand.map_batches(
-        lambda t: pa.table({"vec_id": t.column("vec_id"),
-                            "sim": pa.array(np.round(t.column("sim").to_numpy(), 5))}),
-        batch_format="pyarrow", zero_copy_batch=True) \
-        .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+                   keep_all_candidates=True, tie_round_decimals=5)
+    return cand.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
 def _knn_ivf_top10(sf_dir: str):
@@ -117,12 +113,8 @@ def _knn_ivf_top10(sf_dir: str):
     # nprobe=32/64 cells: this corpus is near-isotropic, so high recall costs
     # a wide probe (tests/test_recall.py gates >=0.9 vs brute force).
     cand = knn_ivf(emb, _query_vector(sf_dir), k=20, nprobe=32,
-                   keep_all_candidates=True)
-    return cand.map_batches(
-        lambda t: pa.table({"vec_id": t.column("vec_id"),
-                            "sim": pa.array(np.round(t.column("sim").to_numpy(), 5))}),
-        batch_format="pyarrow", zero_copy_batch=True) \
-        .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+                   keep_all_candidates=True, tie_round_decimals=5)
+    return cand.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
 def _embedding_near_dup(sf_dir: str):

@@ -573,24 +573,31 @@ def dedup_keep_first(ds, *, id_col: str = "doc_id", content_col: str = "text",
     """Exact keep-first dedup at scale: content-hash shuffle, winner per hash,
     output written as bucket-partitioned keep-lists (never a driver list).
 
-    The shuffle moves (8-byte hash, id) pairs; the winners Dataset carries
-    (bucket, id).  With ``out_path`` the keep-list lands as
-    ``out_path/bucket=K/*.parquet`` so a downstream filter can broadcast or
-    join per bucket, and a failed run can resume per bucket (SCALE.md gap #3).
+    The shuffle moves (16-byte md5 split into two int64 columns, id) rows —
+    128-bit keys because a 64-bit content hash expects a collision (two
+    distinct docs silently merged) by ~5B documents.  With ``out_path`` the
+    keep-list lands as ``out_path/bucket=K/*.parquet`` so a downstream filter
+    can broadcast or join per bucket, and a failed run can resume per bucket
+    (SCALE.md gap #3).
     """
-    from engine.checks.sketches import HyperLogLog
+    import hashlib
 
     def hash_rows(batch: pa.Table) -> pa.Table:
-        values = np.asarray(batch.column(content_col).to_pylist(), dtype=object)
-        h = HyperLogLog.hash64(values)
+        texts = batch.column(content_col).to_pylist()
+        h1 = np.empty(len(texts), dtype=np.int64)
+        h2 = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            d = hashlib.md5(str(t or "").encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            h2[i] = int.from_bytes(d[8:], "little", signed=True)
         return pa.table({
-            "h": pa.array(h.astype(np.int64)),
-            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "bucket": pa.array((h1.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)),
             id_col: batch.column(id_col),
         })
 
     winners = ds.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("h").min([id_col, "bucket"]) \
+        .groupby(["h1", "h2"]).min([id_col, "bucket"]) \
         .map_batches(
             lambda t: pa.table({
                 "bucket": t.column("min(bucket)"),

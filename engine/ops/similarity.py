@@ -30,13 +30,44 @@ def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return np.asarray(flat).reshape(batch.num_rows, -1).astype(np.float32)
 
 
+def _half_away_round(x: np.ndarray, decimals: int) -> np.ndarray:
+    """SQL ROUND semantics (half away from zero); np.round is banker's."""
+    scale = 10.0 ** decimals
+    scaled = np.asarray(x, dtype=np.float64) * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / scale
+
+
+def _local_cut(batch: pa.Table, sims: np.ndarray, cand_idx: np.ndarray,
+               k: int, id_col: str, tie_round_decimals: int | None) -> pa.Table:
+    """Per-batch top-k.  With ``tie_round_decimals`` the cut orders by
+    (rounded sim DESC, id ASC) — the oracle's ORDER BY ROUND(sim,d), id — so
+    a batch full of rounding-ties keeps the lowest ids instead of an
+    arbitrary argpartition subset, and emits the rounded sims."""
+    take = min(k, sims.size)
+    if tie_round_decimals is None:
+        idx = np.argpartition(-sims, take - 1)[:take]
+        out_sims = sims[idx].astype(np.float64)
+    else:
+        r = _half_away_round(sims, tie_round_decimals)
+        ids = batch.column(id_col).take(pa.array(cand_idx)).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, -r))[:take]
+        idx, out_sims = order, r[order]
+    return pa.table({
+        id_col: batch.column(id_col).take(pa.array(cand_idx[idx])),
+        "sim": pa.array(out_sims),
+    })
+
+
 def knn_brute_force(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
-                    col: str = "embedding", keep_all_candidates: bool = False):
+                    col: str = "embedding", keep_all_candidates: bool = False,
+                    tie_round_decimals: int | None = None):
     """Exact cosine top-k: per-batch matmul + local top-k, global sort-limit.
 
     Returns a Dataset of (id_col, sim) with exactly k rows, best first —
     or, with ``keep_all_candidates``, the unsorted per-batch candidate pool
     (#batches x k rows) for callers that apply their own ordering.
+    ``tie_round_decimals``: see _local_cut (deterministic rounded-tie cuts).
     """
     q = np.asarray(query_vec, dtype=np.float32)
     qn = q / (np.linalg.norm(q) + 1e-30)
@@ -48,12 +79,8 @@ def knn_brute_force(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
                              "sim": pa.array([], pa.float64())})
         norms = np.linalg.norm(mat, axis=1) + 1e-30
         sims = (mat @ qn) / norms
-        take = min(k, sims.size)
-        idx = np.argpartition(-sims, take - 1)[:take]
-        return pa.table({
-            id_col: batch.column(id_col).take(pa.array(idx)),
-            "sim": pa.array(sims[idx].astype(np.float64)),
-        })
+        return _local_cut(batch, sims, np.arange(sims.size), k, id_col,
+                          tie_round_decimals)
 
     candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     if keep_all_candidates:
@@ -77,7 +104,8 @@ def _signs_to_key(signs: np.ndarray) -> np.ndarray:
 
 def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
             col: str = "embedding", n_bits: int = 12, max_hamming: int = 3,
-            n_tables: int = 12, keep_all_candidates: bool = False):
+            n_tables: int = 12, keep_all_candidates: bool = False,
+            tie_round_decimals: int | None = None):
     """Approximate top-k via MULTI-TABLE hyperplane LSH: a row is a candidate
     if ANY of the ``n_tables`` independent ``n_bits``-bit signatures is within
     ``max_hamming`` bits of the query's (candidate pruning per batch, no
@@ -109,12 +137,7 @@ def knn_lsh(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
                              "sim": pa.array([], pa.float64())})
         sub = mat[cand]
         sims = (sub @ qn) / (np.linalg.norm(sub, axis=1) + 1e-30)
-        take = min(k, sims.size)
-        idx = np.argpartition(-sims, take - 1)[:take]
-        return pa.table({
-            id_col: batch.column(id_col).take(pa.array(cand[idx])),
-            "sim": pa.array(sims[idx].astype(np.float64)),
-        })
+        return _local_cut(batch, sims, cand, k, id_col, tie_round_decimals)
 
     candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     if keep_all_candidates:
@@ -150,7 +173,8 @@ def train_ivf_centroids(ds, *, col: str = "embedding", n_cells: int = 64,
 def knn_ivf(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
             col: str = "embedding", n_cells: int = 64, nprobe: int = 16,
             centroids: np.ndarray | None = None, train_sample: int = 4096,
-            keep_all_candidates: bool = False):
+            keep_all_candidates: bool = False,
+            tie_round_decimals: int | None = None):
     """Approximate top-k via an IVF coarse quantizer (the scale path the
     north-star names alongside LSH): rows are assigned to their nearest
     spherical-k-means centroid per batch (one matmul, no shuffle), and only
@@ -181,12 +205,7 @@ def knn_ivf(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
             return pa.table({id_col: pa.array([], batch.column(id_col).type),
                              "sim": pa.array([], pa.float64())})
         sims = unit[cand] @ qn
-        take = min(k, sims.size)
-        idx = np.argpartition(-sims, take - 1)[:take]
-        return pa.table({
-            id_col: batch.column(id_col).take(pa.array(cand[idx])),
-            "sim": pa.array(sims[idx].astype(np.float64)),
-        })
+        return _local_cut(batch, sims, cand, k, id_col, tie_round_decimals)
 
     candidates = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     if keep_all_candidates:

@@ -53,6 +53,14 @@ def q1_pricing_summary(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        # Loud guard: NaN.astype(int64) is INT64_MIN and pandas groupby drops
+        # null keys — silent corruption vs SQL null semantics.  This corpus
+        # is null-free by contract; refuse rather than corrupt if that changes.
+        for c in ("l_quantity", "l_returnflag", "l_linestatus"):
+            if batch.column(c).null_count:
+                raise NotImplementedError(
+                    f"q1 assumes null-free {c}; SQL-null aggregation semantics "
+                    "are not implemented in this query")
         df = pd.DataFrame({
             "l_returnflag": batch.column("l_returnflag").to_pandas(),
             "l_linestatus": batch.column("l_linestatus").to_pandas(),
@@ -149,7 +157,9 @@ def stats_lineitem_quantity(sf_dir: str):
         "nulls": pa.array([m["nulls"]], pa.int64()),
         "min_qty": pa.array([m["min"]]),
         "max_qty": pa.array([m["max"]]),
-        "avg_qty": pa.array([float(_half_away_round(int_sum / max(m["count"], 1), 4))]),
+        # Oracle divides by COUNT(*), which includes null rows — so must we.
+        "avg_qty": pa.array([float(_half_away_round(
+            int_sum / max(m["count"] + m["nulls"], 1), 4))]),
     })
 
 
@@ -222,15 +232,27 @@ def dedup_exact_documents(sf_dir: str):
     from engine.checks.sketches import HyperLogLog
 
     def hash_text(batch: pa.Table) -> pa.Table:
-        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        # 128-bit content key (md5 split into two int64 columns): a 64-bit
+        # key has an expected collision by ~5B docs (birthday bound), which
+        # would silently merge distinct documents at the scale this engine
+        # targets; 128 bits pushes that past 10^18.
+        import hashlib
+
+        texts = batch.column("text").to_pylist()
+        h1 = np.empty(len(texts), dtype=np.int64)
+        h2 = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            d = hashlib.md5((t or "").encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            h2[i] = int.from_bytes(d[8:], "little", signed=True)
         return pa.table({
-            "h": pa.array(HyperLogLog.hash64(texts).astype(np.int64)),
+            "h1": pa.array(h1), "h2": pa.array(h2),
             "doc_id": batch.column("doc_id"),
         })
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(hash_text, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("h").min("doc_id") \
+        .groupby(["h1", "h2"]).min("doc_id") \
         .map_batches(lambda t: t.select(["min(doc_id)"]).rename_columns(["doc_id"]),
                      batch_format="pyarrow", zero_copy_batch=True) \
         .sort("doc_id")
@@ -257,9 +279,35 @@ def orphan_orders(sf_dir: str):
 
     from engine.checks.sketches import BloomFilter
 
+    from engine.stages import fk_orphans_semijoin
+
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    keys = np.concatenate([np.asarray(b["c_custkey"]) for b in
-                           cust.iter_batches(batch_format="numpy", batch_size=65536)])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    if cust.count() > DIM_BROADCAST_MAX_ROWS:
+        # Dimension too large for a driver-held set: exact keys-only shuffle
+        # anti-join (the scale path the broadcast gate exists to protect).
+        orphan_keys = {r["o_custkey"] for r in fk_orphans_semijoin(
+            orders, cust, fact_key="o_custkey", dim_key="c_custkey").take_all()}
+        ref = ray.put(np.fromiter(orphan_keys, dtype=np.int64, count=len(orphan_keys)))
+
+        def pick_orders(batch: pa.Table) -> pa.Table:
+            from engine.stages import _broadcast_from_ref
+
+            mask = np.isin(batch.column("o_custkey").to_numpy(),
+                           _broadcast_from_ref(ref))
+            return pa.table({"o_orderkey":
+                             batch.column("o_orderkey").filter(pa.array(mask))})
+
+        ds = orders.map_batches(pick_orders, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        rows = sorted(r["o_orderkey"] for r in ds.take_all())
+        return pa.table({"o_orderkey": pa.array(rows, pa.int64())})
+
+    key_batches = [np.asarray(b["c_custkey"]) for b in
+                   cust.iter_batches(batch_format="numpy", batch_size=65536)]
+    keys = (np.concatenate(key_batches) if key_batches
+            else np.empty(0, dtype=np.int64))
     bloom = BloomFilter(max(len(keys), 1024), 1e-4)
     bloom.add(keys)
     exact = set(keys.tolist())  # dimension side is small; exact verify set
@@ -269,7 +317,7 @@ def orphan_orders(sf_dir: str):
     def probe(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        from engine.stages import _bloom_from_ref
+        from engine.stages import _bloom_from_ref, _broadcast_from_ref
 
         bf = _bloom_from_ref(bloom_ref)     # per-worker deserialize-once
         ck = batch.column("o_custkey").to_numpy()
@@ -279,12 +327,12 @@ def orphan_orders(sf_dir: str):
         maybe_present = bf.contains(ck)
         present = np.zeros(ck.size, dtype=bool)
         if maybe_present.any():
-            truth = ray.get(exact_ref)
+            truth = _broadcast_from_ref(exact_ref)   # per-worker fetch-once
             present[maybe_present] = pd.Series(ck[maybe_present]).isin(truth).to_numpy()
         rows = batch.column("o_orderkey").to_numpy()[~present]
         return pa.table({"o_orderkey": pa.array(rows)})
 
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+    ds = orders \
         .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).sort("o_orderkey")
     # Orphans are a violation report (small by assumption): materialize with an
     # explicit schema so an empty result still carries its column.
@@ -338,7 +386,9 @@ def orders_per_segment(sf_dir: str):
         lut_ref = ray.put(bm)
 
         def tag(batch: pa.Table) -> pa.Table:
-            code, found = ray.get(lut_ref).lookup(
+            from engine.stages import _broadcast_from_ref
+
+            code, found = _broadcast_from_ref(lut_ref).lookup(
                 batch.column("o_custkey").to_numpy())
             counts = np.bincount(code[found], minlength=len(uniques))
             return pa.table({
@@ -509,13 +559,17 @@ FROM events GROUP BY event_type, day ORDER BY event_type, day
 
 
 def _query_vector(sf_dir: str):
+    """Embedding of the minimum vec_id — loads ONE row, not the corpus:
+    the id column locates the row, then a predicate-filtered read fetches
+    just its vector (driver memory stays O(1) at any table size)."""
+    import pyarrow.dataset as _pds
     import pyarrow.parquet as _pq
 
-    tab = _pq.read_table(f"{sf_dir}/embeddings.parquet")
-    arr = tab.column("embedding").combine_chunks()
-    vec_ids = tab.column("vec_id").to_numpy()
-    first = int(np.argmin(vec_ids))
-    return np.asarray(arr[first].as_py(), dtype=np.float32)
+    ids = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    min_id = pc.min(ids.column("vec_id")).as_py()
+    row = _pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=_pds.field("vec_id") == min_id)
+    return np.asarray(row.column("embedding")[0].as_py(), dtype=np.float32)
 
 
 def knn_cosine_top10(sf_dir: str):
@@ -523,18 +577,12 @@ def knn_cosine_top10(sf_dir: str):
 
     q = _query_vector(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # Take extra local candidates, round BEFORE the global cut, and break ties
-    # on vec_id — exactly the oracle's ORDER BY ROUND(sim,5) DESC, vec_id.
-    candidates = knn_brute_force(ds, q, k=20, keep_all_candidates=True)
-
-    def round_sim(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "sim": pa.array(np.round(batch.column("sim").to_numpy(), 5)),
-        })
-
-    return candidates.map_batches(round_sim, batch_format="pyarrow", zero_copy_batch=True) \
-        .sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    # tie_round_decimals=5 makes every LOCAL cut use (ROUND(sim,5) DESC,
+    # vec_id) — the oracle's exact ordering — so rounding-tie rows are never
+    # discarded by an unrounded argpartition before the global merge.
+    candidates = knn_brute_force(ds, q, k=20, keep_all_candidates=True,
+                                 tie_round_decimals=5)
+    return candidates.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
 KNN_SQL = """
@@ -742,7 +790,9 @@ def revenue_by_segment_day(sf_dir: str):
         uniq_arr = pa.array(uniques, pa.string())
 
         def order_tag(batch: pa.Table) -> pa.Table:
-            code, found = ray.get(lut_ref).lookup(
+            from engine.stages import _broadcast_from_ref
+
+            code, found = _broadcast_from_ref(lut_ref).lookup(
                 batch.column("o_custkey").to_numpy())
             months = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
             keep = pa.array(found)
