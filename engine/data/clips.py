@@ -82,8 +82,9 @@ TRANSCRIPT_SCHEMA = {
 }
 
 
-def _defect_for(i: int, rng: np.random.Generator) -> str:
-    """Pick at most one defect class per row, deterministically."""
+def _defect_for(rng: np.random.Generator) -> str:
+    """Pick at most one defect class per row, deterministically (consumes
+    exactly one draw from the row's rng stream)."""
     u = rng.random()
     acc = 0.0
     for name, rate in RATES.items():
@@ -91,6 +92,11 @@ def _defect_for(i: int, rng: np.random.Generator) -> str:
         if u < acc:
             return name
     return "clean"
+
+
+def _row_defect(i: int, seed: int) -> str:
+    """Defect of row i without touching any live rng stream."""
+    return _defect_for(np.random.default_rng((seed << 20) ^ int(i)))
 
 
 def _make_transcript(rng: np.random.Generator, dur_ms: int, defect: str) -> str:
@@ -163,9 +169,12 @@ def make_clips_batch(batch: dict, *, seed: int = 42, drift: bool = False,
     """Vector-of-rows generator: {'id': ndarray} → clips rows (pyarrow Table).
 
     Use with ``ray.data.range(n).map_batches(make_clips_batch, batch_format="numpy")``.
-    ``drift=True`` produces a duration-shifted epoch (applied after all rng
-    draws, so every other column matches the undrifted corpus) — the fixture
-    for PSI/KS drift detection.
+    ``drift=True`` produces a duration-shifted epoch applied AFTER all rng
+    draws: every rng stream position matches the undrifted corpus, so the
+    distributions of sr/codec/confidence etc. are unchanged — but columns
+    DERIVED from dur_ms (audio byte length, transcript word count) shift
+    with it; only dur_ms-independent columns are value-identical across
+    epochs.  The fixture for PSI/KS drift detection.
     """
     ids = np.asarray(batch["id"], dtype=np.int64)
     clip_ids: list[str] = []
@@ -178,10 +187,16 @@ def make_clips_batch(batch: dict, *, seed: int = 42, drift: bool = False,
 
     for row, i in enumerate(ids):
         rng = np.random.default_rng((seed << 20) ^ int(i))
-        defect = _defect_for(int(i), rng)
+        defect = _defect_for(rng)
 
         if defect == "dup_id" and i > 0:
-            cid = f"clip-{int(i) - 1:012d}"      # collide with the previous id
+            # Collide with the nearest PRECEDING row that kept its own id:
+            # if row i-1 also drew dup_id, clip-(i-1) never exists and the
+            # "duplicate" would be unique (round-2 review finding).
+            j = int(i) - 1
+            while j > 0 and _row_defect(j, seed) == "dup_id":
+                j -= 1
+            cid = f"clip-{j:012d}"
         else:
             cid = f"clip-{int(i):012d}"
 
@@ -257,7 +272,7 @@ def cached_clips_dataset(n_clips: int, *, seed: int = 42,
     # v2: ~2000-row files (v1 wrote one tiny file per generation block); the
     # version token forces hosts with an old cache to rebuild in the new
     # layout — row-count validation alone cannot tell the layouts apart.
-    path = f"{cache_root}/v2_n{n_clips}_seed{seed}"
+    path = f"{cache_root}/v3_n{n_clips}_seed{seed}"  # v3: dup-chain id fix
     if os.path.isdir(path):
         # Validate the cache (guards against a partially-deleted build).
         import pyarrow.parquet as _pq
@@ -271,19 +286,32 @@ def cached_clips_dataset(n_clips: int, *, seed: int = 42,
             import shutil
 
             shutil.rmtree(path, ignore_errors=True)
+            if os.path.isdir(path):
+                # Never silently serve a cache we know is wrong (e.g. the
+                # delete failed on permissions in a shared cache_root).
+                raise RuntimeError(
+                    f"clips cache {path} holds {total} rows (expected "
+                    f"{n_clips}) and could not be removed — delete it "
+                    "manually or point cache_root elsewhere")
     if not os.path.isdir(path):
+        import shutil
+
         tmp = f"{path}.tmp-{os.getpid()}"
         # ~2000 rows (~45 MB of audio) per file: generation blocks are tiny,
         # and writing one file per block produced hundreds of KB-sized files
         # whose per-file overhead dominated every downstream read.
         n_files = max(1, n_clips // 2000)
-        clips_dataset(n_clips, seed=seed).repartition(n_files).write_parquet(tmp)
         try:
+            clips_dataset(n_clips, seed=seed).repartition(n_files).write_parquet(tmp)
             os.replace(tmp, path)
         except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)  # another writer won the race
+            if not os.path.isdir(path):
+                # Not a lost race: no winner exists, so surface the error
+                # instead of failing later with a confusing read miss.
+                raise
+        finally:
+            # A failed build (or a lost race) must not leak tmp dirs.
+            shutil.rmtree(tmp, ignore_errors=True)
     return ray.data.read_parquet(path, columns=columns)
 
 

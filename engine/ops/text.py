@@ -130,23 +130,48 @@ class FingerprintStage:
     """md5 hex fingerprint + rolling-hash (Rabin-Karp window) min-fingerprint."""
 
     BASE = np.uint64(1099511628211)
+    # BASE is odd, hence invertible mod 2^64 — the prefix trick below needs it.
+    BASE_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
     def __init__(self, text_col: str = "text", window: int = 16) -> None:
         self.text_col = text_col
         self.window = window
 
     def rolling_min(self, text: str) -> int:
+        """Minimum of all window hashes h_i = sum_j a[i+j] * BASE^j (mod 2^64).
+
+        Computed O(n) time and memory via prefix sums: with
+        S[k] = sum_{t<k} a[t] * BASE^t, the window sum with absolute weights
+        is S[i+w] - S[i] = BASE^i * h_i, and BASE is odd (invertible mod
+        2^64), so h_i = (S[i+w] - S[i]) * BASE^-i.  The previous version
+        materialized an O(n*w) gather matrix — ~256 bytes per input byte,
+        an actor OOM risk on multi-MB documents (round-2 review).
+
+        Texts shorter than the window are NUL-padded to exactly one window
+        (a short text and its NUL-extension collide by construction — this
+        fingerprint discriminates by content windows, not length).
+        """
         data = text.encode("utf-8", "ignore")
         w = self.window
-        if len(data) <= w:
-            data = data + b"\0" * (w + 1 - len(data))
+        if len(data) < w:
+            data = data + b"\0" * (w - len(data))
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        powers = self.BASE ** np.arange(w, dtype=np.uint64)
-        # windows matrix via stride trick, then dot with powers (mod 2^64)
-        n_win = arr.size - w + 1
-        idx = np.arange(w)[None, :] + np.arange(n_win)[:, None]
-        hashes = (arr[idx] * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        return int(hashes.min())
+        n = arr.size
+        bpow = np.empty(n, dtype=np.uint64)
+        bpow[0] = 1
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, self.BASE, dtype=np.uint64),
+                                   out=bpow[1:])
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(arr * bpow, out=prefix[1:])
+        diff = prefix[w:] - prefix[:-w]              # = BASE^i * h_i (mod 2^64)
+        n_win = n - w + 1
+        ipow = np.empty(n_win, dtype=np.uint64)
+        ipow[0] = 1
+        if n_win > 1:
+            np.multiply.accumulate(np.full(n_win - 1, self.BASE_INV, dtype=np.uint64),
+                                   out=ipow[1:])
+        return int((diff * ipow).min())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()

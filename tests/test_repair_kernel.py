@@ -266,6 +266,7 @@ def test_fenced_block_key_crash_case_is_graceful():
     # (parse_object.py:195 — ```json fence reached in key context).
     '/*x*/\'k\'k:.1/2key”x,{,\\\\"```json{\'k\'None/*x*/```json\t...{"a":1}',   # 125k trials
     'k:``,{”```json```[1,2]',                                             # 205k trials
+    '{"a":1}``\\“12.51_0-```json.]"k":1_0("k":,{\'```json```{```None...-',  # 165k trials (stream_stable)
 ])
 def test_fence_in_key_crash_cases_are_graceful(raw):
     """Instances of the reference's parse_object.py:195 AssertionError where
@@ -276,3 +277,5 @@ def test_fence_in_key_crash_cases_are_graceful(raw):
     value, log = result
     _json.dumps(value)                 # JSON-compatible
     assert isinstance(log, list) and log
+    # the stream_stable path must be graceful on these inputs too
+    _json.dumps(repair_json(raw, return_objects=True, stream_stable=True))
