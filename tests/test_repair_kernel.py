@@ -267,6 +267,7 @@ def test_fenced_block_key_crash_case_is_graceful():
     '/*x*/\'k\'k:.1/2key”x,{,\\\\"```json{\'k\'None/*x*/```json\t...{"a":1}',   # 125k trials
     'k:``,{”```json```[1,2]',                                             # 205k trials
     '{"a":1}``\\“12.51_0-```json.]"k":1_0("k":,{\'```json```{```None...-',  # 165k trials (stream_stable)
+    '"x,\nfalse"v"{\n\\"```json}11e3”```json[1,2]',                        # 125k trials (skip_json_loads)
 ])
 def test_fence_in_key_crash_cases_are_graceful(raw):
     """Instances of the reference's parse_object.py:195 AssertionError where
