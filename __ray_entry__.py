@@ -107,12 +107,14 @@ def _knn_ivf_top10(sf_dir: str):
     import ray.data
 
     from engine.ops.similarity import knn_ivf
-    from engine.queries import _query_vector
+    from engine.queries import _query_vector, ivf_centroids_for
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     # nprobe=32/64 cells: this corpus is near-isotropic, so high recall costs
     # a wide probe (tests/test_recall.py gates >=0.9 vs brute force).
+    # Centroids are trained once per corpus and cached across invocations.
     cand = knn_ivf(emb, _query_vector(sf_dir), k=20, nprobe=32,
+                   centroids=ivf_centroids_for(sf_dir),
                    keep_all_candidates=True, tie_round_decimals=5)
     return cand.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 

@@ -155,6 +155,11 @@ def train_ivf_centroids(ds, *, col: str = "embedding", n_cells: int = 64,
     driver-side matrix, never the corpus.  Returns unit centroids (C, dim).
     """
     rows = ds.limit(train_sample).take_all()
+    if not rows:
+        # Empty corpus: (0, 0) centroids, mirroring the empty-block branches
+        # in the knn kernels (round-2 advice — np.asarray([]) is 1-D and
+        # norm(axis=1) would raise AxisError).
+        return np.zeros((0, 0), dtype=np.float32)
     mat = np.asarray([r[col] for r in rows], dtype=np.float32)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30
     rng = np.random.default_rng(seed)
@@ -188,13 +193,15 @@ def knn_ivf(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
                                         train_sample=train_sample)
     q = np.asarray(query_vec, dtype=np.float32)
     qn = q / (np.linalg.norm(q) + 1e-30)
-    probe = np.argsort(-(centroids @ qn))[:nprobe]
     probe_set = np.zeros(centroids.shape[0], dtype=bool)
-    probe_set[probe] = True
+    if centroids.shape[0]:                     # (0,0) centroids probe nothing
+        probe_set[np.argsort(-(centroids @ qn))[:nprobe]] = True
 
     def local_topk(batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch, col)
-        if mat.shape[0] == 0:
+        # Zero centroids (trained on an empty corpus) probe no cells: emit
+        # the same empty candidate shape as the empty-batch branch.
+        if mat.shape[0] == 0 or centroids.shape[0] == 0:
             return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
                              "sim": pa.array([], pa.float64())})
         norms = np.linalg.norm(mat, axis=1) + 1e-30

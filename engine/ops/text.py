@@ -127,7 +127,17 @@ class LangIdStage:
 
 
 class FingerprintStage:
-    """md5 hex fingerprint + rolling-hash (Rabin-Karp window) min-fingerprint."""
+    """md5 hex fingerprint + rolling-hash (Rabin-Karp window) min-fingerprint.
+
+    ``FP_VERSION`` names the roll_fp contract so persisted fingerprints are
+    comparable only within a version.  v1 (round 1) padded short texts to
+    w+1 bytes (min over TWO windows); v2 pads to exactly w (ONE window), so
+    v1 and v2 roll_fp values differ for every text with UTF-8 length <= w
+    (round-2 advice).  Pinned values for both regimes live in
+    tests/test_ops.py::test_rolling_fingerprint_pinned_values.
+    """
+
+    FP_VERSION = 2
 
     BASE = np.uint64(1099511628211)
     # BASE is odd, hence invertible mod 2^64 — the prefix trick below needs it.

@@ -15,6 +15,7 @@ so the shuffle moves #batches x #groups partial rows, not raw rows.
 
 from __future__ import annotations
 
+import functools
 import json
 
 import numpy as np
@@ -366,8 +367,20 @@ def _segment_lookup(cust_ds):
                             np.empty(0, dtype=np.int8)), []
     t = pa.concat_tables(parts)
     codes, uniques = pd.factorize(t.column("c_mktsegment").to_pandas())
-    bm = BroadcastMap(t.column("c_custkey").to_numpy(), codes.astype(np.int8))
-    return bm, [str(u) for u in uniques]
+    segments: list[str | None] = [str(u) for u in uniques]
+    if (codes < 0).any():
+        # factorize marks NULL segments as -1; map them to an explicit None
+        # entry so lookups group them like SQL's GROUP BY (round-2 advice —
+        # uniq_arr.take(-1) would otherwise wrap/crash downstream).
+        codes = np.where(codes < 0, len(segments), codes)
+        segments.append(None)
+    # Code dtype sized to the dictionary: int8 silently wraps past 127
+    # distinct segments (round-2 advice).
+    for dt in (np.int8, np.int16, np.int32):
+        if len(segments) <= np.iinfo(dt).max:
+            break
+    bm = BroadcastMap(t.column("c_custkey").to_numpy(), codes.astype(dt))
+    return bm, segments
 
 
 def orders_per_segment(sf_dir: str):
@@ -570,6 +583,19 @@ def _query_vector(sf_dir: str):
     row = _pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["embedding"], filter=_pds.field("vec_id") == min_id)
     return np.asarray(row.column("embedding")[0].as_py(), dtype=np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def ivf_centroids_for(sf_dir: str, n_cells: int = 64, train_sample: int = 4096):
+    """IVF coarse-quantizer centroids, trained ONCE per (corpus, params) and
+    reused across query invocations — a repeated-query workload must not pay
+    the bounded-sample ``limit().take_all()`` every call (round-2 VERDICT
+    item 6; same pattern as the cached query vector / Bloom states).
+    Callers treat the returned array as read-only."""
+    from engine.ops.similarity import train_ivf_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return train_ivf_centroids(ds, n_cells=n_cells, train_sample=train_sample)
 
 
 def knn_cosine_top10(sf_dir: str):

@@ -158,6 +158,61 @@ def drift_report(hists: dict, baseline_path: Path = BASELINE_SKETCH_PATH) -> dic
     return out
 
 
+def _purge_stale_partitions(out: Path, n_partitions: int, per_part: int,
+                            n_clips: int, run_params: dict) -> None:
+    """Delete on-disk output for partition ids that the CURRENT run will not
+    produce, so ``out`` holds exactly this run's partitions before _finalize
+    / _global_duplicate_groups scan the whole directory.
+
+    Without this, re-running with fewer partitions (or fewer clips) leaves
+    part=K dirs for K >= n_partitions (or for empty ranges) that overlap the
+    recomputed ranges: duplicate_id_groups inflates, overall_pass flips, and
+    the parquet dataset double-counts rows (round-2 advice, medium)."""
+    import re
+    import shutil
+
+    part_re = re.compile(r"^part=(\d+)(?:\.json)?$")
+    seen: set[int] = set()
+    for sub in ("manifest", "verdicts", "violations"):
+        d = out / sub
+        if not d.exists():
+            continue
+        for entry in d.iterdir():
+            m = part_re.match(entry.name)
+            if m:
+                seen.add(int(m.group(1)))
+
+    def valid(part: int) -> bool:
+        if part >= n_partitions:
+            return False
+        lo = part * per_part
+        hi = min(lo + per_part, n_clips)
+        if lo >= hi:
+            return False
+        mp = out / "manifest" / f"part={part}.json"
+        if not mp.exists():
+            # No manifest: the main loop will recompute and _run_partition
+            # clears the data dirs itself — nothing stale survives.
+            return True
+        try:
+            manifest = json.loads(mp.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return (manifest.get("row_range") == [lo, hi]
+                and manifest.get("run_params") == run_params)
+
+    for part in seen:
+        if valid(part):
+            continue
+        mp = out / "manifest" / f"part={part}.json"
+        if mp.exists():
+            mp.unlink()
+        for sub in ("verdicts", "violations"):
+            d = out / sub / f"part={part}"
+            if d.exists():
+                shutil.rmtree(d)
+
+
 def run_validation(
     n_clips: int,
     out_dir: str,
@@ -180,6 +235,9 @@ def run_validation(
         "min_snr_db": min_snr_db,
         "schema_key": json.dumps(schema, sort_keys=True) if schema else None,
     }
+    # The finalize pass scans the WHOLE out dir; clear partitions a previous
+    # run wrote that this run's (n_clips, n_partitions) will not overwrite.
+    _purge_stale_partitions(out, n_partitions, per_part, n_clips, run_params)
 
     all_metrics: list[dict] = []
     n_processed = 0

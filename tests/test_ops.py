@@ -87,6 +87,46 @@ def test_knn_lsh_finds_strong_neighbor(emb_ds):
     assert 0 in ids and 50 in ids
 
 
+def test_ivf_empty_corpus_is_safe(ray_session):
+    """Round-2 advice: an empty embeddings dataset must train (0,0) centroids
+    and yield an empty knn result, not an AxisError."""
+    import ray.data
+
+    from engine.ops.similarity import knn_ivf, train_ivf_centroids
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    cents = train_ivf_centroids(empty)
+    assert cents.shape == (0, 0)
+    out = knn_ivf(empty, np.ones(16, dtype=np.float32), k=3).take_all()
+    assert out == []
+
+
+def test_ivf_centroids_cached_across_invocations(ray_session, monkeypatch):
+    """Round-2 VERDICT item 6: the second knn_ivf_top10 call must NOT retrain
+    centroids (no limit().take_all() sample pull)."""
+    import engine.ops.similarity as sim
+    from engine import queries as q
+
+    q.ivf_centroids_for.cache_clear()
+    calls = {"n": 0}
+    real = sim.train_ivf_centroids
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", counting)
+    entry = __import__("__ray_entry__")
+    sf = "/root/testdata/sf0.001"
+    first = entry.queries()["knn_ivf_top10"](sf).take_all()
+    second = entry.queries()["knn_ivf_top10"](sf).take_all()
+    assert calls["n"] == 1
+    assert [r["vec_id"] for r in first] == [r["vec_id"] for r in second]
+
+
 def test_embedding_near_dup(emb_ds):
     from engine.ops.similarity import near_dup_cosine_pairs
 
@@ -109,6 +149,37 @@ def test_text_stages(docs_ds):
     by_id = {r["doc_id"]: r for r in out.take_all()}
     assert by_id[2]["md5"] == by_id[82]["md5"]
     assert by_id[2]["roll_fp"] == by_id[82]["roll_fp"]
+
+
+def test_rolling_fingerprint_pinned_values():
+    """Pin the v2 roll_fp contract (round-2 advice): short texts (UTF-8 len
+    <= window) are NUL-padded to exactly ONE window.  Any change to padding,
+    BASE, or window math flips these and must bump FP_VERSION."""
+    from engine.ops.text import FingerprintStage
+
+    fp = FingerprintStage()                     # window=16
+    assert fp.FP_VERSION == 2
+    pinned = {
+        "": 0,
+        "a": 97,
+        "hi": 115448720962259,
+        "0123456789abcdef": 9480379446452065308,       # exactly one window
+        "0123456789abcdefg": 9480379446452065308,      # min still window 0
+        "The quick brown fox jumps over the lazy dog": 560612368232801456,
+    }
+    for text, want in pinned.items():
+        assert fp.rolling_min(text) == want, text
+    # v2 single-window property: a short text and its NUL-extension collide.
+    assert fp.rolling_min("abc") == fp.rolling_min("abc\0\0")
+    # Brute-force cross-check on a >window text: min over explicit windows.
+    text = "the quick brown fox"
+    data = text.encode()
+    w, BASE = fp.window, int(fp.BASE)
+    explicit = min(
+        sum(data[i + j] * pow(BASE, j, 1 << 64) for j in range(w)) % (1 << 64)
+        for i in range(len(data) - w + 1)
+    )
+    assert fp.rolling_min(text) == explicit
 
 
 def test_langid_scripts(ray_session):

@@ -181,3 +181,37 @@ def test_resume_rejects_mismatched_manifests(ray_session, tmp_path):
     # Unchanged parameters now resume cleanly with zero processing.
     m3 = run_validation(800, str(out), n_partitions=2, batch_size=128)
     assert m3["rows"] == 800 and m3["clips_processed"] == 0
+
+
+def test_shrinking_partitions_purges_stale_output(ray_session, tmp_path):
+    """Round-2 advice (medium): re-running the same out dir with FEWER
+    partitions must delete part=K output for K >= n_partitions.  Without the
+    purge, run(800, parts=4) then run(800, parts=2) leaves parts 2-3
+    (rows [400,800)) on disk beside the recomputed part 1 ([400,800)):
+    verdict rows double-count and duplicate_id_groups inflates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.run import run_validation
+
+    out = tmp_path / "shrink"
+    m4 = run_validation(800, str(out), n_partitions=4, batch_size=128)
+    assert m4["rows"] == 800
+
+    m2 = run_validation(800, str(out), n_partitions=2, batch_size=128)
+    assert m2["rows"] == 800
+    # Exactly this run's partitions remain on disk.
+    assert sorted(p.name for p in (out / "manifest").glob("part=*.json")) == \
+        ["part=0.json", "part=1.json"]
+    assert sorted(p.name for p in (out / "verdicts").glob("part=*")) == \
+        ["part=0", "part=1"]
+    files = glob.glob(str(out / "verdicts" / "**" / "*.parquet"), recursive=True)
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 800                      # no double-counted rows
+    # Same duplicate accounting as a fresh 800-row run (only the planted
+    # defects, not resume artifacts).
+    fresh = run_validation(800, str(tmp_path / "fresh"), n_partitions=2,
+                           batch_size=128)
+    assert m2["duplicate_id_groups"] == fresh["duplicate_id_groups"]
+    assert m2["overall_pass"] == fresh["overall_pass"]

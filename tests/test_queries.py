@@ -1,5 +1,7 @@
 """Driver-contract queries vs DuckDB oracles at sf0.001 (fast subset)."""
 
+import numpy as np
+import pyarrow as pa
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -90,6 +92,30 @@ def test_dim_join_gate_paths_agree(ray_session, monkeypatch):
         b, j = run_both(fn)
         assert len(b) == len(j) > 0
         assert canonical_hash(b) == canonical_hash(j)
+
+
+def test_segment_lookup_wide_dictionary_and_nulls(ray_session):
+    """Round-2 advice: >127 distinct segments must not wrap the int8 code
+    dtype, and NULL segments (factorize code -1) must group as None instead
+    of indexing position -1."""
+    import ray.data
+
+    from engine.queries import _segment_lookup
+
+    n_seg = 300                                  # needs int16 codes
+    keys = list(range(n_seg + 1))
+    segs = [f"SEG{i:03d}" for i in range(n_seg)] + [None]
+    ds = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_mktsegment": pa.array(segs, pa.string()),
+    }))
+    bm, uniques = _segment_lookup(ds)
+    assert bm.values.dtype == np.int16
+    assert uniques[-1] is None and len(uniques) == n_seg + 1
+    codes, found = bm.lookup(np.array(keys, dtype=np.int64))
+    assert found.all()
+    got = [uniques[c] for c in codes]
+    assert got == segs                           # every code round-trips
 
 
 def test_shuffle_partitions_scales_with_input():
