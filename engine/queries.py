@@ -286,24 +286,15 @@ def orphan_orders(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     if cust.count() > DIM_BROADCAST_MAX_ROWS:
-        # Dimension too large for a driver-held set: exact keys-only shuffle
-        # anti-join (the scale path the broadcast gate exists to protect).
-        orphan_keys = {r["o_custkey"] for r in fk_orphans_semijoin(
-            orders, cust, fact_key="o_custkey", dim_key="c_custkey").take_all()}
-        ref = ray.put(np.fromiter(orphan_keys, dtype=np.int64, count=len(orphan_keys)))
-
-        def pick_orders(batch: pa.Table) -> pa.Table:
-            from engine.stages import _broadcast_from_ref
-
-            mask = np.isin(batch.column("o_custkey").to_numpy(),
-                           _broadcast_from_ref(ref))
-            return pa.table({"o_orderkey":
-                             batch.column("o_orderkey").filter(pa.array(mask))})
-
-        ds = orders.map_batches(pick_orders, batch_format="pyarrow",
-                                zero_copy_batch=True)
-        rows = sorted(r["o_orderkey"] for r in ds.take_all())
-        return pa.table({"o_orderkey": pa.array(rows, pa.int64())})
+        # Dimension too large for a driver-held set: exact shuffle anti-join
+        # with o_orderkey carried through the tagged union, so the report
+        # streams end to end — no driver-held orphan-key set + second full
+        # scan (round-2 VERDICT item 4: if referential integrity is broken
+        # en masse, that set IS the blowup the check exists to detect).
+        return fk_orphans_semijoin(
+            orders, cust, fact_key="o_custkey", dim_key="c_custkey",
+            fact_payload=["o_orderkey"],
+        ).select_columns(["o_orderkey"]).sort("o_orderkey")
 
     key_batches = [np.asarray(b["c_custkey"]) for b in
                    cust.iter_batches(batch_format="numpy", batch_size=65536)]

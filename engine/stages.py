@@ -636,14 +636,33 @@ def _bloom_from_ref(ref):
     return BloomFilter.from_state(state) if state is not None else None
 
 
+def _orphan_row_mask(keys: np.ndarray, flags: np.ndarray) -> np.ndarray:
+    """Row mask of orphan fact rows inside ONE hash partition of the tagged
+    union: a row is an orphan iff NO row with its key has the dim flag.
+    Vectorized (unique + bincount) — the per-key work is numpy, never a
+    Python group dispatch."""
+    if keys.size == 0:
+        return np.zeros(0, dtype=bool)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    dim_hits = np.bincount(inv, weights=flags.astype(np.float64),
+                           minlength=uniq.size)
+    # Keys with zero dim hits consist purely of fact rows by construction.
+    return dim_hits[inv] == 0
+
+
 def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
                         fp_rate: float = 1e-4, exact: bool = True,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        fact_payload: list[str] | None = None):
     """Scale-path referential check (SCALE.md gap #2).
 
-    exact=True (default): tagged-union groupby anti-join over ALL keys — the
-    all-to-all carries only the 8-byte key column of each side, and the
-    per-key group check is robust to empty blocks.  Recall is exactly 1.
+    exact=True (default): tagged-union anti-join over ALL keys, shuffled on
+    ``hash(key) % num_partitions`` — the all-to-all carries only the key
+    column (plus ``fact_payload``), and the map_groups dispatch is
+    O(partitions): orphan runs are detected vectorized inside each partition
+    (round-2 VERDICT item 3 — groupby(key) was O(distinct keys) Python
+    dispatches, the same anti-pattern the bucket stages eliminated).
+    Recall is exactly 1.
 
     exact=False: distributed-Bloom prefilter.  Bloom MISSES are definite
     orphans (no false negatives), so the output has precision 1 — but an
@@ -653,15 +672,19 @@ def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
     this path exact — wrong side of the filter needs verification; fixed per
     round-2 review.)
 
-    Returns a Dataset of orphan fact rows (fact_key column only).
-    ``num_partitions`` accepted for API stability; the groupby sizes itself.
+    ``fact_payload`` columns are carried through the shuffle and returned on
+    orphan rows, so callers can stream a full report without a driver-side
+    key set + second scan (round-2 VERDICT item 4).
+
+    Returns a Dataset of orphan fact rows ([fact_key] + fact_payload).
     """
     import ray
 
     from engine.checks.sketches import BloomFilter
 
+    payload = list(fact_payload or [])
     dim_ds = dim_ds.select_columns([dim_key]).materialize()  # used 2-3x below
-    fact_keys_ds = fact_ds.select_columns([fact_key])
+    fact_keys_ds = fact_ds.select_columns([fact_key] + payload)
 
     if not exact:
         dim_count = dim_ds.count()
@@ -689,35 +712,62 @@ def fk_orphans_semijoin(fact_ds, dim_ds, *, fact_key: str, dim_key: str,
 
         def definite_orphans(batch: pa.Table) -> pa.Table:
             bf = _bloom_from_ref(bloom_ref)
-            keys = batch.column(fact_key)
             if bf is None:
-                return pa.table({fact_key: keys})
+                return batch
+            keys = batch.column(fact_key)
             miss = ~bf.contains(np.asarray(keys.to_pylist(), dtype=object))
-            return pa.table({fact_key: keys.filter(pa.array(miss))})
+            return batch.filter(pa.array(miss))
 
         return fact_keys_ds.map_batches(definite_orphans, batch_format="pyarrow",
                                         zero_copy_batch=True)
 
-    fact_tagged = fact_keys_ds.map_batches(
-        lambda t: pa.table({
-            "key": t.column(fact_key),
-            "is_dim": pa.array(np.zeros(t.num_rows, dtype=bool)),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True)
-    dim_tagged = dim_ds.map_batches(
-        lambda t: pa.table({
-            "key": t.column(dim_key),
-            "is_dim": pa.array(np.ones(t.num_rows, dtype=bool)),
-        }),
-        batch_format="pyarrow", zero_copy_batch=True)
+    n_parts = num_partitions or shuffle_partitions(fact_keys_ds.count())
+    # Payload types come from the fact schema (metadata-only) so the dim side
+    # can union with null-filled payload columns of the same type.
+    fact_schema = fact_keys_ds.schema()
+    payload_types = dict(zip(fact_schema.names, fact_schema.types))
 
-    def orphan_groups(group: pa.Table) -> pa.Table:
-        flags = group.column("is_dim").to_numpy(zero_copy_only=False)
-        if flags.any():           # key exists in the dimension — not an orphan
-            return pa.table({fact_key: pa.array([], group.column("key").type)})
-        keys = group.column("key")
-        return pa.table({fact_key: keys})
+    def _parts(keys: pa.Array | pa.ChunkedArray) -> pa.Array:
+        import pandas as pd
 
-    return fact_tagged.union(dim_tagged).groupby("key").map_groups(
-        orphan_groups, batch_format="pyarrow")
+        # categorize=False: the default C-string hash table merges strings
+        # that differ only past a NUL byte (round-2 memory note).
+        h = pd.util.hash_array(keys.to_numpy(zero_copy_only=False),
+                               categorize=False)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int32))
+
+    def tag_fact(t: pa.Table) -> pa.Table:
+        keys = t.column(fact_key)
+        cols = {"key": keys, "part": _parts(keys),
+                "is_dim": pa.array(np.zeros(t.num_rows, dtype=bool))}
+        for c in payload:
+            cols[f"p_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        keys = t.column(dim_key)
+        cols = {"key": keys, "part": _parts(keys),
+                "is_dim": pa.array(np.ones(t.num_rows, dtype=bool))}
+        for c in payload:
+            cols[f"p_{c}"] = pa.nulls(t.num_rows, payload_types[c])
+        return pa.table(cols)
+
+    fact_tagged = fact_keys_ds.map_batches(tag_fact, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    dim_tagged = dim_ds.map_batches(tag_dim, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def orphan_partition(group: pa.Table) -> pa.Table:
+        keys_arr = group.column("key")
+        mask = _orphan_row_mask(
+            keys_arr.to_numpy(zero_copy_only=False),
+            group.column("is_dim").to_numpy(zero_copy_only=False))
+        keep = pa.array(mask)
+        cols = {fact_key: keys_arr.filter(keep)}
+        for c in payload:
+            cols[c] = group.column(f"p_{c}").filter(keep)
+        return pa.table(cols)
+
+    return fact_tagged.union(dim_tagged).groupby("part").map_groups(
+        orphan_partition, batch_format="pyarrow")
 

@@ -94,6 +94,31 @@ def test_dim_join_gate_paths_agree(ray_session, monkeypatch):
         assert canonical_hash(b) == canonical_hash(j)
 
 
+def test_orphan_orders_scale_path_streams(ray_session, monkeypatch, tmp_path):
+    """Round-2 VERDICT item 4: the big-dimension path must produce the same
+    report as the broadcast path, end to end as a Dataset (o_orderkey carried
+    through the shuffle), with planted orphans."""
+    import pyarrow.parquet as pq
+
+    from engine import queries as q
+    from tools.check_oracles import to_pandas
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(100), pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    # custkeys 100..109 have no customer: their orders are orphans.
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(1000, 1220), pa.int64()),
+        "o_custkey": pa.array([i % 110 for i in range(220)], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    broadcast = to_pandas(q.orphan_orders(str(tmp_path)))
+    monkeypatch.setattr(q, "DIM_BROADCAST_MAX_ROWS", 0)
+    scale = to_pandas(q.orphan_orders(str(tmp_path)))
+    assert len(broadcast) == 20                  # 2 orders per orphan custkey
+    assert broadcast["o_orderkey"].tolist() == scale["o_orderkey"].tolist()
+
+
 def test_segment_lookup_wide_dictionary_and_nulls(ray_session):
     """Round-2 advice: >127 distinct segments must not wrap the int8 code
     dtype, and NULL segments (factorize code -1) must group as None instead
