@@ -33,6 +33,38 @@ def _fold32(h: np.ndarray) -> np.ndarray:
     return (h ^ (h >> np.uint64(32))) & _U32
 
 
+# Second siphash key for the 128-bit content hash (exactly 16 chars; the
+# first pass uses pandas' default key — two independent 64-bit functions).
+_HASH_KEY_2 = "2nd-graft-key-16"
+
+
+def content_hash_128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content keys as two independent vectorized 64-bit siphash
+    passes over the column (round-2 VERDICT item 8: the per-row Python
+    ``hashlib.md5`` loop was the hot cost of the exact-dedup hash stage; the
+    output is not oracle-pinned — the DuckDB oracle groups by text — so a
+    non-cryptographic key is fine).  128 bits keeps the expected collision
+    bound past 10^18 documents (a single 64-bit key expects one by ~5B).
+
+    Accepts a pyarrow Array/ChunkedArray; nulls hash as "" (matching the
+    previous md5 path's ``t or ""``) and non-string columns are cast to
+    string Arrow-side.  Deterministic across processes — siphash with fixed
+    keys, no PYTHONHASHSEED involvement.  ~1.5-1.8x the md5 loop on 1 KB
+    docs (each 64-bit pass alone is ~3.5x; the second pass is the price of
+    the 128-bit bound).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if not pa.types.is_string(texts.type) and not pa.types.is_large_string(texts.type):
+        texts = pc.cast(texts, pa.string())
+    arr = pc.fill_null(texts, "").to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(arr, categorize=False).view(np.int64)
+    h2 = pd.util.hash_array(arr, hash_key=_HASH_KEY_2,
+                            categorize=False).view(np.int64)
+    return h1, h2
+
+
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
     """Word-shingle 64-bit hashes for one document."""
     words = text.split()
@@ -573,23 +605,16 @@ def dedup_keep_first(ds, *, id_col: str = "doc_id", content_col: str = "text",
     """Exact keep-first dedup at scale: content-hash shuffle, winner per hash,
     output written as bucket-partitioned keep-lists (never a driver list).
 
-    The shuffle moves (16-byte md5 split into two int64 columns, id) rows —
+    The shuffle moves (128-bit content hash as two int64 columns, id) rows —
     128-bit keys because a 64-bit content hash expects a collision (two
     distinct docs silently merged) by ~5B documents.  With ``out_path`` the
     keep-list lands as ``out_path/bucket=K/*.parquet`` so a downstream filter
     can broadcast or join per bucket, and a failed run can resume per bucket
     (SCALE.md gap #3).
     """
-    import hashlib
 
     def hash_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(content_col).to_pylist()
-        h1 = np.empty(len(texts), dtype=np.int64)
-        h2 = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            d = hashlib.md5(str(t or "").encode()).digest()
-            h1[i] = int.from_bytes(d[:8], "little", signed=True)
-            h2[i] = int.from_bytes(d[8:], "little", signed=True)
+        h1, h2 = content_hash_128(batch.column(content_col))
         return pa.table({
             "h1": pa.array(h1), "h2": pa.array(h2),
             "bucket": pa.array((h1.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)),

@@ -233,19 +233,15 @@ def dedup_exact_documents(sf_dir: str):
     from engine.checks.sketches import HyperLogLog
 
     def hash_text(batch: pa.Table) -> pa.Table:
-        # 128-bit content key (md5 split into two int64 columns): a 64-bit
-        # key has an expected collision by ~5B docs (birthday bound), which
-        # would silently merge distinct documents at the scale this engine
-        # targets; 128 bits pushes that past 10^18.
-        import hashlib
+        # 128-bit content key (two independent vectorized siphash passes —
+        # see content_hash_128): a 64-bit key has an expected collision by
+        # ~5B docs (birthday bound), which would silently merge distinct
+        # documents at the scale this engine targets; 128 bits pushes that
+        # past 10^18.  The oracle groups by text, so the hash itself is not
+        # pinned to md5.
+        from engine.ops.dedup import content_hash_128
 
-        texts = batch.column("text").to_pylist()
-        h1 = np.empty(len(texts), dtype=np.int64)
-        h2 = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            d = hashlib.md5((t or "").encode()).digest()
-            h1[i] = int.from_bytes(d[:8], "little", signed=True)
-            h2[i] = int.from_bytes(d[8:], "little", signed=True)
+        h1, h2 = content_hash_128(batch.column("text"))
         return pa.table({
             "h1": pa.array(h1), "h2": pa.array(h2),
             "doc_id": batch.column("doc_id"),
