@@ -89,6 +89,69 @@ def _jaccard_near_dup(sf_dir: str):
     return jaccard_verify(cand, docs, min_jaccard=0.5).sort(["a", "b"])
 
 
+def _jaccard_all_pairs(sf_dir: str):
+    """EXACT all-pairs token-set Jaccard (ground-truth for the minhash
+    family), hash-oracled against DuckDB list_intersect (round-2 VERDICT
+    item 1c)."""
+    import ray.data
+
+    from engine.ops.dedup import jaccard_all_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return jaccard_all_pairs(docs, min_jaccard=0.5).sort(["a", "b"])
+
+
+JACCARD_ALL_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+    / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.w, b.w)) > 0
+  AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+ORDER BY a, b
+"""
+
+
+def _embedding_near_dup_exact(sf_dir: str):
+    """EXACT all-pairs cosine near-dup (ground-truth for the LSH-bucketed
+    family), hash-oracled against DuckDB list_cosine_similarity (round-2
+    VERDICT item 1c).  Both sides compute in float64 (DOUBLE[]-cast lists on
+    the DuckDB side) — agreement ~1e-15, so the 0.4 threshold and ROUND(5)
+    never flip a pair; the FLOAT[] kernel would disagree at ~1e-7."""
+    import ray.data
+
+    from engine.ops.similarity import all_pairs_cosine
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    rows = all_pairs_cosine(emb, threshold=0.4).sort(["a", "b"]).take_all()
+    # Small report: materialize with an explicit schema so an empty result
+    # still carries its columns.
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.int64()),
+        "b": pa.array([r["b"] for r in rows], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+    })
+
+
+EMBEDDING_NEAR_DUP_EXACT_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 5)
+    AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS DOUBLE) >= 0.4
+ORDER BY a, b
+"""
+
+
 def _knn_lsh_top10(sf_dir: str):
     import ray.data
 
@@ -133,26 +196,6 @@ def _embedding_near_dup(sf_dir: str):
         "b": pa.array([r["b"] for r in rows], pa.int64()),
         "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
     })
-
-
-def _quality_scores_documents(sf_dir: str):
-    """Float quality/stopword scores (heuristic — rows-only; the integer
-    sub-metrics are hash-oracled separately in lang_quality_documents)."""
-    import ray.data
-
-    from engine.ops.text import LangIdStage, TokenStatsStage
-
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    # Task pools: chained actor pools starve placement at low CPU counts.
-    out = docs.map_batches(TokenStatsStage(), batch_format="pyarrow") \
-        .map_batches(LangIdStage(), batch_format="pyarrow")
-    return out.map_batches(
-        lambda t: pa.table({
-            "doc_id": t.column("doc_id"),
-            "lang_pred": t.column("lang_pred"),
-            "quality": pa.array(np.round(t.column("quality").to_numpy(), 4)),
-            "stop_ratio": pa.array(np.round(t.column("stop_ratio").to_numpy(), 4)),
-        }), batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
 
 
 def _rolling_fingerprint(sf_dir: str):
@@ -220,21 +263,76 @@ def _tdigest_quantity(sf_dir: str):
     })
 
 
-def _audio_features(sf_dir: str):
-    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
-    from engine.ops.multimodal import AudioFeatureStage
+AUDIO_FEATURES_N = 4096
 
-    n = min(clips_count_for_sf_dir(sf_dir), 5_000)
-    ds = cached_clips_dataset(n, seed=42)
+AUDIO_FEATURES_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+base AS (
+  SELECT i, i % 7 AS c,
+    CASE i % 7 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' WHEN 2 THEN 'opus'
+               WHEN 3 THEN 'flac' WHEN 4 THEN 'pcm16' WHEN 5 THEN 'mp3'
+               ELSE 'pcm16' END AS codec,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    200 + (i * 37) % 800 AS dur,
+    8000 + (i % 50) * 300 AS k,
+    160 + (i % 60) AS p
+  FROM ids
+), d AS (
+  SELECT i, c, codec, (sr * dur) // 1000 AS n,
+    c NOT IN (5, 6) AS ok,
+    CAST(CAST(k AS DOUBLE) / 32767.0 AS REAL) AS v16,
+    2 * CAST(CAST(CAST(p AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) - 1 AS v8p,
+    2 * CAST(CAST(CAST(255 - p AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) - 1 AS v8n
+  FROM base
+)
+SELECT i AS aud_id, codec, ok AS decode_ok,
+  CAST(CASE WHEN ok THEN n ELSE 0 END AS BIGINT) AS n_samples,
+  CASE WHEN NOT ok THEN NULL
+       WHEN codec = 'pcm8' THEN ROUND(SQRT((((n + 1) // 2) * v8p * v8p
+                                            + (n // 2) * v8n * v8n) / n), 4)
+       ELSE ROUND(CAST(v16 AS DOUBLE), 4) END AS rms,
+  CASE WHEN NOT ok THEN NULL ELSE 1.0 END AS zero_cross_rate
+FROM d ORDER BY aud_id
+"""
+
+
+def _audio_features(sf_dir: str):
+    """Hash-oracled REAL audio decode (round-2 VERDICT item 1a): the
+    closed-form corpus (engine/data/audio_synth.py) puts its square-wave
+    levels on the PCM quantization grid, so the decoded n_samples, rms and
+    zero-cross-rate are pure functions of the clip index that the DuckDB
+    oracle recomputes over range() — including undecodable (mp3) and
+    truncated-payload rows."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_audio_batch
+    from engine.ops.multimodal import AudioFeatureStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(AUDIO_FEATURES_N).map_batches(
+        synth_audio_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
                          batch_size=256, concurrency=(1, 8))
-    return out.map_batches(
-        lambda t: pa.table({
-            "clip_id": t.column("clip_id"),
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ok = t.column("decode_ok").to_numpy(zero_copy_only=False)
+        rms = _half_away_round(t.column("rms").to_numpy(zero_copy_only=False), 4)
+        zcr = t.column("zero_cross_rate").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
             "decode_ok": t.column("decode_ok"),
             "n_samples": t.column("n_samples"),
-            "rms": pa.array(np.round(t.column("rms").to_numpy(zero_copy_only=False), 4)),
-        }), batch_format="pyarrow", zero_copy_batch=True).sort("clip_id")
+            # failed rows carry NULL (not NaN) so the hash compare is typed
+            "rms": pa.array([float(r) if o else None
+                             for r, o in zip(rms, ok)], pa.float64()),
+            "zero_cross_rate": pa.array([float(z) if o else None
+                                         for z, o in zip(zcr, ok)], pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
 
 
 
@@ -428,10 +526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_by_type": q.events_daily_by_type,
         "knn_cosine_top10": q.knn_cosine_top10,
         "sessionize_events": q.sessionize_events,
+        "top_events_per_user": q.top_events_per_user,
+        "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "union_region_nation_names": q.union_region_nation_names,
         "sample_documents": q_sample,
         "lang_quality_documents": q.lang_quality_documents,
+        "quality_scores_documents": q.quality_scores_documents,
+        "audio_features": _audio_features,
+        "jaccard_all_pairs": _jaccard_all_pairs,
+        "embedding_near_dup_exact": _embedding_near_dup_exact,
         "image_dims": _image_dims,
         "video_dims": _video_dims,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
@@ -443,11 +547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top10": _knn_lsh_top10,
         "knn_ivf_top10": _knn_ivf_top10,
         "embedding_near_dup": _embedding_near_dup,
-        "quality_scores_documents": _quality_scores_documents,
         "rolling_fingerprint": _rolling_fingerprint,
         "hll_distinct_users": _hll_distinct_users,
         "tdigest_quantity": _tdigest_quantity,
-        "audio_features": _audio_features,
         "image_metadata": _image_metadata,
         "video_frame_sample": _video_frame_sample,
         "drift_clips": _drift_clips,
@@ -473,10 +575,16 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "knn_cosine_top10": q.KNN_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,
+        "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
+        "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "union_region_nation_names": q.UNION_SQL,
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "lang_quality_documents": q.LANG_QUALITY_SQL,
+        "quality_scores_documents": q.QUALITY_SCORES_SQL,
+        "audio_features": AUDIO_FEATURES_SQL,
+        "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
+        "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,
         "image_dims": IMAGE_DIMS_SQL,
         "video_dims": VIDEO_DIMS_SQL,
     }

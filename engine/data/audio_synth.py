@@ -1,0 +1,86 @@
+"""Deterministic synthetic audio corpus (no external data, no RNG state).
+
+Every cell is a closed-form function of the clip index, chosen so a DuckDB
+oracle over ``range()`` can reproduce the REAL decode output bit-for-bit
+(round-2 VERDICT item 1a — the rng-based clips table cannot be SQL-modeled,
+so the oracle-able audio corpus gets its own generator, exactly as
+engine/data/images.py did for image_dims):
+
+  sr        cycles {8000, 16000, 22050, 44100} by i % 4
+  dur_ms    200 + (i*37) % 800              (floor division for n_samples —
+            round() would hit banker's-vs-half-away disagreements)
+  codec     by i % 7: pcm16, pcm8, opus, flac, pcm16, mp3 (no decoder),
+            pcm16-truncated (payload cut mid-data-chunk)
+  signal    an alternating-sign square wave whose levels are chosen AT the
+            PCM quantization grid, so encode→decode round-trips exactly:
+              pcm16-family: target integer k = 8000 + (i%50)*300,
+                            sample value = float32(k / 32767)
+              pcm8:         target byte  p = 160 + (i%60),
+                            sample value = float32((2p - 255) / 255)
+            The decoded float32 values are then pure functions of k / p that
+            DuckDB reproduces with CAST(... AS REAL) (k/32767 and p/255 are
+            never float32 midpoints — 32767 and 255 are non-dyadic), so
+            rms and zero-cross-rate hash-match the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.audio import encode_wav
+
+SRS = (8000, 16000, 22050, 44100)
+CODEC_CASES = ("pcm16", "pcm8", "opus", "flac", "pcm16", "mp3", "pcm16")
+
+
+def audio_params(i: int) -> dict:
+    """Closed-form parameters for clip i (the contract the SQL oracle models)."""
+    case = i % 7
+    sr = SRS[i % 4]
+    dur_ms = 200 + (i * 37) % 800
+    return {
+        "case": case,
+        "codec": CODEC_CASES[case],
+        "truncated": case == 6,
+        "sr": sr,
+        "dur_ms": dur_ms,
+        "n_samples": sr * dur_ms // 1000,
+        "k16": 8000 + (i % 50) * 300,
+        "p8": 160 + (i % 60),
+    }
+
+
+def synth_audio(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for clip i."""
+    p = audio_params(i)
+    n = p["n_samples"]
+    if p["codec"] == "pcm8":
+        v = np.float32((2 * p["p8"] - 255) / 255)
+        v_neg = np.float32((255 - 2 * p["p8"]) / 255)
+    else:
+        v = np.float32(p["k16"] / 32767)
+        v_neg = np.float32(-p["k16"] / 32767)
+    sig = np.empty(n, dtype=np.float32)
+    sig[0::2] = v
+    sig[1::2] = v_neg
+    enc_codec = p["codec"] if p["codec"] in ("pcm16", "pcm8", "opus", "flac") else "pcm16"
+    raw = encode_wav(sig, p["sr"], enc_codec)
+    if p["truncated"]:
+        raw = raw[: max(10, len(raw) // 3)]
+    return raw, p["codec"]
+
+
+def synth_audio_batch(batch: pa.Table) -> pa.Table:
+    """ray.data.range(n) batch → (aud_id, bytes, codec) rows."""
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_audio(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })

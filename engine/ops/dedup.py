@@ -600,6 +600,104 @@ def jaccard_verify(pairs_ds, docs_ds, *, text_col: str = "text", id_col: str = "
     return cand.map_batches(score_broadcast, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Gate for the exact all-pairs operator — the ground-truth / oracle path;
+# minhash_lsh_pairs + jaccard_verify is the 100 TB path.
+JACCARD_ALL_PAIRS_MAX_ROWS = 200_000
+
+
+def jaccard_all_pairs(ds, *, min_jaccard: float = 0.5, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """EXACT all-pairs distinct-token Jaccard (a < b, j >= min_jaccard).
+
+    An inverted index (token -> posting list of doc indices) is built from a
+    gated full pass and broadcast once; each batch then counts intersections
+    with EVERY doc by bincounting its tokens' postings — linear in postings,
+    not pairs.  Jaccard is an exact integer ratio (|∩| / (|A|+|B|-|∩|)), so
+    the emitted double is bit-identical to the DuckDB list_intersect oracle.
+
+    Tokens are keyed by 64-bit siphash: a collision (P ~ V^2/2^65 over the
+    vocabulary, ~1e-8 at V=1e6) would merge two tokens; acceptable for the
+    gated ground-truth domain.  This is the verification operator —
+    ``minhash_lsh_pairs`` is the scale path (round-2 VERDICT item 1c).
+    """
+    import pandas as pd
+    import ray
+
+    from engine.ops.text import TOKEN_RE
+    from engine.stages import _broadcast_from_ref
+
+    def doc_token_hashes(text: str) -> np.ndarray:
+        toks = sorted(set(TOKEN_RE.findall(text or "")))
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        return np.unique(pd.util.hash_array(np.asarray(toks, dtype=object),
+                                            categorize=False))
+
+    # Gated full pass: ids + per-doc unique token-hash sets.
+    doc_ids: list[int] = []
+    tok_arrays: list[np.ndarray] = []
+    n_rows = 0
+    for batch in ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        n_rows += batch.num_rows
+        if n_rows > JACCARD_ALL_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"jaccard_all_pairs is the exact ground-truth path, gated at "
+                f"{JACCARD_ALL_PAIRS_MAX_ROWS} rows; use minhash_lsh_pairs + "
+                f"jaccard_verify at scale")
+        doc_ids.extend(batch.column(id_col).to_pylist())
+        for t in batch.column(text_col).to_pylist():
+            tok_arrays.append(doc_token_hashes(t))
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not doc_ids:
+        return ray.data.from_arrow(empty)
+
+    ids_all = np.asarray(doc_ids, dtype=np.int64)
+    set_sizes = np.array([a.size for a in tok_arrays], dtype=np.int64)
+    flat = np.concatenate(tok_arrays) if tok_arrays else np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(ids_all.size), set_sizes)
+    order = np.argsort(flat, kind="mergesort")
+    flat_sorted, doc_sorted = flat[order], doc_of[order]
+    uniq_tok, tok_starts = np.unique(flat_sorted, return_index=True)
+    tok_ends = np.concatenate([tok_starts[1:], [flat_sorted.size]])
+    ref = ray.put((ids_all, set_sizes, uniq_tok, tok_starts, tok_ends, doc_sorted))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids_a, sizes, toks, starts, ends, postings = _broadcast_from_ref(ref)
+        out_a, out_b, out_j = [], [], []
+        ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for row, text in enumerate(batch.column(text_col).to_pylist()):
+            th = doc_token_hashes(text)
+            if th.size == 0:
+                continue
+            # Every token is in the index (built from this corpus), so the
+            # searchsorted positions are exact hits.
+            pos = np.searchsorted(toks, th)
+            hits = np.concatenate([postings[s:e] for s, e in
+                                   zip(starts[pos], ends[pos])])
+            inter = np.bincount(hits, minlength=ids_a.size)
+            union = th.size + sizes - inter
+            keep = (ids_a > ids_b[row]) & (inter > 0) & (union > 0)
+            j = inter[keep].astype(np.float64) / union[keep]
+            sel = j >= min_jaccard
+            out_a.extend([int(ids_b[row])] * int(sel.sum()))
+            out_b.extend(ids_a[keep][sel].tolist())
+            out_j.extend(j[sel].tolist())
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_keep_first(ds, *, id_col: str = "doc_id", content_col: str = "text",
                      out_path: str | None = None, n_buckets: int = 64):
     """Exact keep-first dedup at scale: content-hash shuffle, winner per hash,

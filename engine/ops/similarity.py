@@ -220,6 +220,73 @@ def knn_ivf(ds, query_vec, k: int = 10, *, id_col: str = "vec_id",
     return candidates.sort("sim", descending=True).limit(k)
 
 
+# Above this many rows the exact all-pairs operator refuses to broadcast the
+# corpus — it is the ground-truth / verification path (recall gates, oracle
+# parity); near_dup_cosine_pairs is the LSH-bucketed scale path.
+ALL_PAIRS_MAX_ROWS = 200_000
+
+
+def all_pairs_cosine(ds, *, threshold: float = 0.8, id_col: str = "vec_id",
+                     col: str = "embedding", round_decimals: int = 5):
+    """EXACT cosine near-dup pairs (a < b, sim >= threshold).
+
+    The unit-normalized corpus is broadcast once (``ray.put``) and each batch
+    does one matmul against it — O(n^2) compute spread over the batch tasks,
+    zero shuffle.  Inherently quadratic: gated at ``ALL_PAIRS_MAX_ROWS``
+    because this is the ground-truth operator (recall gates and the DuckDB
+    all-pairs oracle); the LSH-bucketed ``near_dup_cosine_pairs`` is the
+    100 TB path.
+
+    Math is float64 end-to-end: DuckDB's FLOAT[] cosine kernel runs in f32
+    with its own accumulation order (~1e-7 disagreement — threshold and
+    ROUND(5) boundaries would flip pairs), while the DOUBLE[]-cast oracle
+    agrees with an f64 numpy matmul to ~1e-15, making boundary flips
+    impossible in practice.
+    """
+    import ray
+
+    from engine.stages import _broadcast_from_ref
+
+    parts = list(ds.select_columns([id_col, col]).iter_batches(
+        batch_format="pyarrow", batch_size=65536))
+    n_rows = sum(p.num_rows for p in parts)
+    if n_rows > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"all_pairs_cosine is the exact ground-truth path, gated at "
+            f"{ALL_PAIRS_MAX_ROWS} rows (got {n_rows}); use "
+            f"near_dup_cosine_pairs at scale")
+    if n_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    all_t = pa.concat_tables(parts)
+    all_ids = all_t.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _embedding_matrix(all_t, col).astype(np.float64)
+    unit_all = mat / (np.linalg.norm(mat, axis=1)[:, None] + 1e-30)
+    ref = ray.put((all_ids, unit_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        m = _embedding_matrix(batch, col).astype(np.float64)
+        if m.shape[0] == 0:
+            return empty
+        ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids_all, unit = _broadcast_from_ref(ref)
+        unit_b = m / (np.linalg.norm(m, axis=1)[:, None] + 1e-30)
+        sims = unit_b @ unit.T                          # float64
+        keep = (sims >= threshold) & (ids_all[None, :] > ids_b[:, None])
+        bi, ai = np.nonzero(keep)
+        if bi.size == 0:
+            return empty
+        cos = _half_away_round(sims[bi, ai], round_decimals)
+        return pa.table({"a": pa.array(ids_b[bi]), "b": pa.array(ids_all[ai]),
+                         "cosine": pa.array(cos)})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
                           col: str = "embedding", n_bits: int = 10, cap: int = 256,
                           n_parts: int | None = None):

@@ -37,7 +37,18 @@ TOKEN_RE = re.compile(f"[^{ASCII_WS_CLASS}]+")
 
 
 class TokenStatsStage:
-    """Adds ws_tokens, re_tokens, punct_ratio, digit_ratio, stop_ratio, quality."""
+    """Adds ws_tokens, re_tokens, punct_ratio, digit_ratio, stop_ratio, quality.
+
+    ``quality`` (v2) is computed from the ASCII-deterministic counts
+    (n_punct/n_digits over [0-9] / [^A-Za-z0-9 \\t\\n\\f\\r]) so the score is
+    exactly reproducible in an RE2/DuckDB oracle (round-2 VERDICT item 1);
+    the Unicode-aware punct_ratio/digit_ratio columns are unchanged and
+    remain informational.  v1 (rounds 1-2) used the Unicode ratios inside
+    the score — values differ on texts containing '_', non-ASCII digits or
+    CJK punctuation.
+    """
+
+    QUALITY_VERSION = 2
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
@@ -75,11 +86,15 @@ class TokenStatsStage:
             if words:
                 ns[i] = sum(1 for w in words if w.lower() in en_stop)
                 sr[i] = ns[i] / len(words)
-            # Quality: length sweet spot, low punct/digit noise, some stopwords.
+            # Quality: length sweet spot, low punct/digit noise, some
+            # stopwords — over the ASCII-deterministic counts (see class
+            # docstring; the SQL oracle replicates this op-for-op).
             length_score = min(len(t) / 200.0, 1.0)
+            qpr = npu[i] / L
+            qdr = nd[i] / L
             q[i] = max(0.0, min(1.0,
-                       0.4 * length_score + 0.3 * (1.0 - min(pr[i] * 5, 1.0))
-                       + 0.1 * (1.0 - min(dr[i] * 5, 1.0)) + 0.2 * min(sr[i] * 3, 1.0)))
+                       0.4 * length_score + 0.3 * (1.0 - min(qpr * 5, 1.0))
+                       + 0.1 * (1.0 - min(qdr * 5, 1.0)) + 0.2 * min(sr[i] * 3, 1.0)))
         return batch.append_column("ws_tokens", pa.array(ws)) \
             .append_column("re_tokens", pa.array(rt)) \
             .append_column("n_digits", pa.array(nd)) \

@@ -803,6 +803,122 @@ ORDER BY user_id
 """
 
 
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Windowed rank (ROW_NUMBER PARTITION BY user ORDER BY value DESC,
+    event_id) keeping the top-k rows per user — the windowed-aggregate
+    operator family, expressed Ray-Data-first: salted partition shuffle +
+    ONE vectorized lexsort/rank pass per partition (O(partitions) dispatch,
+    same pattern as sessionize)."""
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def topk_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_id": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        val = group.column("value").to_numpy()
+        order = np.lexsort((eid, -val, uid))     # user ASC, value DESC, id ASC
+        uid, eid, val = uid[order], eid[order], val[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        keep = rank <= k
+        return pa.table({
+            "user_id": pa.array(uid[keep]),
+            "event_id": pa.array(eid[keep]),
+            "value": pa.array(val[keep]),
+            "rank": pa.array(rank[keep]),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(topk_partition, batch_format="pyarrow") \
+        .sort(["user_id", "rank"])
+
+
+TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3 ORDER BY user_id, rank
+"""
+
+
+def purchase_attribution(sf_dir: str):
+    """As-of join (backward): each purchase event attributed to the same
+    user's most recent preceding click — the asof-join operator the Dataset
+    API lacks, built from a co-partitioned tagged union + one vectorized
+    last-seen scan per partition (engine/stages.py:asof_join_backward).
+    Gap emitted as exact integer microseconds so the row hashes against
+    DuckDB's ASOF LEFT JOIN."""
+    from engine.stages import asof_join_backward
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def only(event_type: str):
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), event_type))
+        return ev.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    purchases = only("purchase")
+    clicks = only("click")
+
+    joined = asof_join_backward(
+        purchases, clicks, by="user_id", on="ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id", "ts"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        lt = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        rt_arr = t.column("ts_r")
+        rt = rt_arr.to_numpy(zero_copy_only=False)
+        valid = ~pa.compute.is_null(
+            rt_arr if not isinstance(rt_arr, pa.ChunkedArray)
+            else rt_arr.combine_chunks()).to_numpy(zero_copy_only=False)
+        gap = np.zeros(t.num_rows, dtype=np.int64)
+        if valid.any():
+            gap[valid] = lt[valid] - rt[valid].astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "click_event_id": t.column("event_id_r"),
+            "gap_us": pa.array([int(g) if v else None
+                                for g, v in zip(gap, valid)], pa.int64()),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("event_id")
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+SELECT p.event_id, p.user_id,
+       c.event_id AS click_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
 def sample_documents(sf_dir: str, fraction: float = 0.1):
     """Deterministic hash-based sample (the reproducible form of
     ds.random_sample — sampling decisions must be stable across retries).
@@ -890,6 +1006,76 @@ FROM hits ORDER BY doc_id
 
 
 LANG_QUALITY_SQL = _lang_quality_sql()
+
+
+def quality_scores_documents(sf_dir: str):
+    """Float quality/stopword scores, fully hash-oracled (round-2 VERDICT
+    item 1b): quality v2 is a pure double-arithmetic function of the
+    ASCII-deterministic counts already oracled in lang_quality_documents, so
+    the same op sequence in SQL reproduces it bit-for-bit; rounding is
+    half-away-from-zero on both sides (np.round is banker's — wrong here).
+    """
+    from engine.ops.text import LangIdStage, TokenStatsStage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # Task pools: chained actor pools starve placement at low CPU counts.
+    out = docs.map_batches(TokenStatsStage(), batch_format="pyarrow") \
+        .map_batches(LangIdStage(), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang_pred": t.column("lang_pred"),
+            "quality": pa.array(_half_away_round(
+                t.column("quality").to_numpy(), 4)),
+            "stop_ratio": pa.array(_half_away_round(
+                t.column("stop_ratio").to_numpy(), 4)),
+        }), batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def _quality_scores_sql() -> str:
+    en, es, de, fr = (_stop_in_list(lang) for lang in ("en", "es", "de", "fr"))
+    # Mirrors TokenStatsStage op-for-op: L = max(len,1); pr/dr from the ASCII
+    # counts; sr = en_stops/ws_tokens; quality = clamp(0.4*ls + 0.3*(1-min(
+    # pr*5,1)) + 0.1*(1-min(dr*5,1)) + 0.2*min(sr*3,1)).  Same left-to-right
+    # double arithmetic, so ROUND(...,4) agrees exactly.
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[^\t\n\f\r ]+') AS words
+  FROM documents
+), hits AS (
+  SELECT doc_id, text, len(words) AS ws_tokens,
+         {en} AS en_h, {es} AS es_h, {de} AS de_h, {fr} AS fr_h,
+         GREATEST(length(text), 1) AS L,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+         length(regexp_replace(text, '[A-Za-z0-9\t\n\f\r ]', '', 'g')) AS np
+  FROM toks
+), r AS (
+  SELECT doc_id, text, ws_tokens, en_h, es_h, de_h, fr_h,
+         LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS ls,
+         CAST(np AS DOUBLE) / L AS qpr,
+         CAST(nd AS DOUBLE) / L AS qdr,
+         CASE WHEN ws_tokens = 0 THEN 0.0
+              ELSE CAST(en_h AS DOUBLE) / ws_tokens END AS sr
+  FROM hits
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN ws_tokens = 0 THEN 'und'
+       WHEN greatest(en_h, es_h, de_h, fr_h) = 0 THEN 'en'
+       WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h THEN 'en'
+       WHEN es_h >= de_h AND es_h >= fr_h THEN 'es'
+       WHEN de_h >= fr_h THEN 'de'
+       ELSE 'fr' END AS lang_pred,
+  ROUND(GREATEST(0.0, LEAST(1.0,
+        0.4 * ls + 0.3 * (1.0 - LEAST(qpr * 5, 1.0))
+        + 0.1 * (1.0 - LEAST(qdr * 5, 1.0)) + 0.2 * LEAST(sr * 3, 1.0))), 4)
+    AS quality,
+  ROUND(sr, 4) AS stop_ratio
+FROM r ORDER BY doc_id
+"""
+
+
+QUALITY_SCORES_SQL = _quality_scores_sql()
 
 
 # ------------------------------------------------------------- big-big join

@@ -636,6 +636,115 @@ def _bloom_from_ref(ref):
     return BloomFilter.from_state(state) if state is not None else None
 
 
+def asof_join_backward(left_ds, right_ds, *, by: str, on: str,
+                       left_cols: list[str], right_cols: list[str],
+                       num_partitions: int | None = None,
+                       right_suffix: str = "_r"):
+    """Distributed backward as-of join: for each left row, the right row with
+    the greatest ``on`` <= left ``on`` within the same ``by`` key (LEFT join —
+    unmatched left rows keep NULL right columns).
+
+    Ray Data has no asof operator; this composes one from a tagged-union
+    hash shuffle on ``by`` (both sides co-partitioned, key+on+payload columns
+    only) and ONE vectorized pass per partition: lexsort by (key, on, side)
+    with right rows ordering before left at equal ``on`` (inclusive <=), then
+    a running maximum of last-seen-right-index — valid when it falls inside
+    the row's key run.  O(partitions) Python dispatch, O(n log n) per
+    partition, no per-key loop.
+
+    ``on`` must be a numeric/timestamp column (compared as int64).  Right
+    payload columns are emitted as ``<name><right_suffix>`` when they collide
+    with a left column name.
+    """
+    import pandas as pd
+
+    n_parts = num_partitions or shuffle_partitions(
+        left_ds.select_columns([by]).count())
+
+    left_schema = left_ds.schema()
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right_ds.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+
+    def _on_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def _parts(keys: np.ndarray) -> pa.Array:
+        h = pd.util.hash_array(keys, categorize=False)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int32))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        cols = {"k": t.column(by), "o": pa.array(_on_i64(t.column(on))),
+                "part": _parts(keys),
+                "is_left": pa.array(np.ones(t.num_rows, dtype=bool))}
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        for c in right_cols:
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        cols = {"k": t.column(by), "o": pa.array(_on_i64(t.column(on))),
+                "part": _parts(keys),
+                "is_left": pa.array(np.zeros(t.num_rows, dtype=bool))}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, left_types[c])
+        for c in right_cols:
+            cols[f"r_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    right_out = {c: (c + right_suffix if c in left_cols else c)
+                 for c in right_cols}
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            cols = {c: pa.array([], left_types[c]) for c in left_cols}
+            cols.update({right_out[c]: pa.array([], right_types[c])
+                         for c in right_cols})
+            return pa.table(cols)
+        keys = group.column("k").to_numpy(zero_copy_only=False)
+        ons = group.column("o").to_numpy(zero_copy_only=False)
+        is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+        # Right rows first at equal (key, on): the match is inclusive.
+        order = np.lexsort((is_left, ons, keys))
+        keys_s, left_s = keys[order], is_left[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_s[1:] != keys_s[:-1]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        run_start = np.repeat(starts, counts)
+        last_right = np.maximum.accumulate(
+            np.where(~left_s, np.arange(n), -1))
+        valid = left_s & (last_right >= run_start)
+        left_pos = np.flatnonzero(left_s)             # sorted positions
+        match_sorted = last_right[left_pos]           # -1 or right sorted pos
+        matched = valid[left_pos]
+        left_orig = order[left_pos]
+        right_orig = np.where(matched, order[np.clip(match_sorted, 0, n - 1)], -1)
+
+        take_l = pa.array(left_orig)
+        cols = {c: group.column(f"l_{c}").take(take_l) for c in left_cols}
+        take_r = pa.array([int(i) if i >= 0 else None for i in right_orig],
+                          pa.int64())
+        for c in right_cols:
+            cols[right_out[c]] = group.column(f"r_{c}").take(take_r)
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    return tagged.groupby("part").map_groups(join_partition,
+                                             batch_format="pyarrow")
+
+
 def _orphan_row_mask(keys: np.ndarray, flags: np.ndarray) -> np.ndarray:
     """Row mask of orphan fact rows inside ONE hash partition of the tagged
     union: a row is an orphan iff NO row with its key has the dim flag.

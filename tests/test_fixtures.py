@@ -342,3 +342,34 @@ def test_fk_semijoin_exact_catches_bloom_collisions(ray_session):
     assert "orphan-plain" in screened
     assert colliding not in screened
     assert not set(screened) & set(dim_keys)
+
+
+def test_asof_join_backward(ray_session):
+    """Backward as-of join edge cases: inclusive equal-ts match, latest-of-
+    several, unmatched left (NULL right), many blocks, co-partitioned keys."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import asof_join_backward
+
+    left = ray.data.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 2, 3], pa.int64()),
+        "t": pa.array([100, 50, 10, 500], pa.int64()),
+        "lid": pa.array([10, 11, 12, 13], pa.int64()),
+    })).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 1, 2], pa.int64()),
+        "t": pa.array([40, 100, 90, 20], pa.int64()),
+        "rid": pa.array([70, 71, 72, 73], pa.int64()),
+    })).repartition(2)
+
+    out = {r["lid"]: r for r in asof_join_backward(
+        left, right, by="uid", on="t",
+        left_cols=["lid", "uid", "t"], right_cols=["rid", "t"],
+        num_partitions=4).take_all()}
+    assert out[10]["rid"] == 71          # equal t=100 matches inclusively
+    assert out[11]["rid"] == 70          # latest of rights <= 50 is t=40
+    assert out[12]["rid"] is None        # right t=20 > left t=10: no match
+    assert out[13]["rid"] is None        # uid 3 has no right rows at all
+    assert out[10]["t_r"] == 100 and out[11]["t_r"] == 40

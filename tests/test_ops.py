@@ -376,3 +376,50 @@ def test_frame_sample_stage_real(ray_session):
         for pos, f in enumerate(idx):
             expect = ((x + y + i + 7 * int(f)) % 256).mean()
             assert abs(r["frame_lums"][pos] - expect) < 1e-9
+
+
+def test_jaccard_all_pairs_exact(docs_ds):
+    """Inverted-index all-pairs jaccard equals the brute-force set math."""
+    from engine.ops.dedup import jaccard_all_pairs
+    from engine.ops.text import TOKEN_RE
+
+    rows = docs_ds.take_all()
+    sets = {r["doc_id"]: set(TOKEN_RE.findall(r["text"])) for r in rows}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter and inter / union >= 0.5:
+                want[(a, b)] = inter / union
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in jaccard_all_pairs(docs_ds, min_jaccard=0.5).take_all()}
+    assert got == want
+    assert (2, 82) in got and got[(2, 82)] == 1.0   # planted exact dup
+
+
+def test_jaccard_all_pairs_gate(ray_session, monkeypatch):
+    import engine.ops.dedup as dd
+
+    monkeypatch.setattr(dd, "JACCARD_ALL_PAIRS_MAX_ROWS", 10)
+    import ray.data
+    big = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(11), pa.int64()),
+        "text": pa.array(["x"] * 11, pa.string())}))
+    with pytest.raises(ValueError, match="gated"):
+        dd.jaccard_all_pairs(big)
+
+
+def test_all_pairs_cosine_exact_and_gate(emb_ds, monkeypatch):
+    import engine.ops.similarity as sim
+
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in sim.all_pairs_cosine(emb_ds, threshold=0.99).take_all()}
+    assert (0, 50) in pairs and pairs[(0, 50)] > 0.99
+    # every pair ordered a < b, float64 rounded to 5
+    assert all(a < b for a, b in pairs)
+
+    monkeypatch.setattr(sim, "ALL_PAIRS_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="gated"):
+        sim.all_pairs_cosine(emb_ds)
