@@ -97,25 +97,67 @@ def run_flagship(n_clips: int) -> dict:
             "clips_per_s": round(rows / wall, 1)}
 
 
-def run_query_bench() -> dict[str, float]:
+QUERY_BENCH_NAMES = [
+    "q1_pricing_summary", "grouped_stats_orderpriority", "dedup_exact_documents",
+    "distinct_users_events", "orders_per_segment", "top10_orders",
+    "repair_extract_events", "events_daily_by_type", "knn_cosine_top10",
+    "minhash_near_dup", "simhash_near_dup", "hll_distinct_users",
+    "tdigest_quantity", "sessionize_events", "revenue_by_segment_day",
+]
+
+# Recorded per-query numbers are the median of this many sweeps: a single
+# sweep was contaminated by whatever else shared the wall window (round-2
+# VERDICT item 2 — the recorded metric must be trustworthy without reading
+# bench/history.jsonl).
+BENCH_REPEATS = 3
+
+
+def _run_flagship_fresh(n_cpus: int, n_clips: int) -> dict | None:
+    """One flagship run in a FRESH process (same path as the scaling workers).
+
+    Repeating the flagship inside one long-lived session degrades run-over-run
+    (~10k -> ~7.3k clips/s by run 3 — object-store/page-cache residue from the
+    previous materialize), so in-session repeats understate the pipeline.  The
+    production shape is one job per session (`ray job submit`), which is what
+    a fresh process measures."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-worker", str(n_cpus)],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ,
+                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                 "GRAFT_SCALING_CLIP_COUNT": str(n_clips)},
+            check=False,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("SCALING_RESULT ")), None)
+    if line is None:
+        return None
+    res = json.loads(line[len("SCALING_RESULT "):])
+    return {"rows": res["rows"], "wall_s": res["wall_s"],
+            "clips_per_s": res["clips_per_s"]}
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def run_query_bench(repeats: int = BENCH_REPEATS) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
-    names = [
-        "q1_pricing_summary", "grouped_stats_orderpriority", "dedup_exact_documents",
-        "distinct_users_events", "orders_per_segment", "top10_orders",
-        "repair_extract_events", "events_daily_by_type", "knn_cosine_top10",
-        "minhash_near_dup", "simhash_near_dup", "hll_distinct_users",
-        "tdigest_quantity", "sessionize_events", "revenue_by_segment_day",
-    ]
     qs = entrymod.queries()
-    out: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        result = qs[name](SF_DIR)
-        if hasattr(result, "materialize"):
-            result.materialize()
-        out[name] = round(time.time() - t0, 3)
-    return out
+    samples: dict[str, list[float]] = {n: [] for n in QUERY_BENCH_NAMES}
+    for _ in range(repeats):
+        for name in QUERY_BENCH_NAMES:
+            t0 = time.time()
+            result = qs[name](SF_DIR)
+            if hasattr(result, "materialize"):
+                result.materialize()
+            samples[name].append(time.time() - t0)
+    return {n: round(_median(v), 3) for n, v in samples.items()}
 
 
 def _scaling_clip_count() -> int:
@@ -212,9 +254,31 @@ def main() -> None:
         print(json.dumps(record))
         return
 
-    _init_ray(NUM_CPUS)
     t_all = time.time()
-    flagship = run_flagship(BENCH_CLIPS[_sf_label()])
+    # Corpus build + dirty-page writeback happen before any timed window: a
+    # fresh multi-GB /tmp write poisons the next timed read (~43s vs ~9s
+    # observed round 2).
+    _init_ray(NUM_CPUS)
+    prepare_flagship_input(BENCH_CLIPS[_sf_label()])
+    import ray
+
+    ray.shutdown()   # flagship repeats measure fresh sessions (job-submit shape)
+    try:
+        os.sync()
+    except (AttributeError, OSError):
+        pass
+    # Median-of-3 flagship runs, each in a FRESH process: the RECORDED number
+    # must stand alone (round-2 VERDICT item 2) and in-session repeats degrade
+    # (see _run_flagship_fresh).
+    flagship_runs = [r for r in
+                     (_run_flagship_fresh(NUM_CPUS, BENCH_CLIPS[_sf_label()])
+                      for _ in range(BENCH_REPEATS)) if r is not None]
+    if not flagship_runs:   # subprocess trouble: fall back to in-session
+        _init_ray(NUM_CPUS)
+        flagship_runs = [run_flagship(BENCH_CLIPS[_sf_label()])]
+    flagship = sorted(flagship_runs, key=lambda r: r["clips_per_s"])[
+        len(flagship_runs) // 2]
+    _init_ray(NUM_CPUS)
     queries = run_query_bench()
     # Lighter per-round two-scale signal (round-1 VERDICT item 10): same
     # clips-cached path at two CPU levels in fresh processes.
@@ -237,6 +301,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "validated_clips_per_s": flagship["clips_per_s"],
         "validated_clips": flagship["rows"],
+        "flagship_runs_clips_per_s": [r["clips_per_s"] for r in flagship_runs],
+        "bench_repeats": BENCH_REPEATS,
         "scaling": scaling,
     }
     _append_history(record)
