@@ -59,6 +59,120 @@ def _clips_violations(sf_dir: str):
                           zero_copy_batch=True).sort(["clip_id", "check", "message"])
 
 
+import os as _os
+
+_CLIPS_TRUTH_PARQUET = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "data", "clips_truth_n10000_seed42.parquet")
+
+
+def _clips_verdicts_vs_planted(sf_dir: str):
+    """Hash-oracled FLAGSHIP differential (round-2 VERDICT item 1): the full
+    validation pipeline's verdict flags vs the generator's planted-defect
+    ground truth (data/clips_truth_n10000_seed42.parquet — derived only from
+    engine/data/clips.py and regenerated+byte-compared in
+    tests/test_clips_truth.py).  The defect -> expected-verdict mapping is in
+    the oracle SQL, so planted intent vs detected outcome is checked row by
+    row: junk -> parse fails, sr_out -> metadata fails (decode skipped),
+    dur_lie / audio_corrupt / audio_trunc -> audio fails, orphan -> fk fails,
+    everything else fully passes.
+
+    One masked family: for 'bad_json' (repairable-malformation) rows the
+    post-repair schema validity is ENGINE-defined, not generator-decidable
+    (a truncation can cut mid-key and leave a schema-invalid repair), so
+    parse_ok is NULLed on both sides for exactly those rows.  The repair
+    behavior itself is covered by the reference parity suite and the
+    repair_extract_events oracle."""
+    import pandas as pd
+
+    from engine.data.clips import cached_clips_dataset
+    from engine.run import attach_fk_check, validate_clips_dataset
+
+    checked = attach_fk_check(validate_clips_dataset(
+        cached_clips_dataset(10_000, seed=42), batch_size=256))
+    eng = checked.select_columns(
+        ["clip_id", "sr_hz", "dur_ms", "codec", "speaker_id",
+         "parse_ok", "meta_ok", "audio_ok", "fk_ok"]).sort(
+        ["clip_id", "dur_ms", "sr_hz", "codec"]).to_pandas()
+    truth = pd.read_parquet(_CLIPS_TRUTH_PARQUET)  # same sort order
+    if not (eng["clip_id"].values == truth["clip_id"].values).all():
+        raise AssertionError("verdict rows do not align with the truth table")
+    # float64 (1.0/0.0/NaN), not bool-with-null: a NULL BOOLEAN round-trips
+    # to pandas as None on the Arrow side but NaN on the DuckDB side, so the
+    # stringified hash would never match.
+    parse = [None if d == "bad_json" else float(bool(p))
+             for p, d in zip(eng["parse_ok"], truth["defect"])]
+    return pa.table({
+        "clip_id": pa.array(eng["clip_id"], pa.string()),
+        "sr_hz": pa.array(eng["sr_hz"], pa.int32()),
+        "dur_ms": pa.array(eng["dur_ms"], pa.int32()),
+        "codec": pa.array(eng["codec"], pa.string()),
+        "speaker_id": pa.array(eng["speaker_id"], pa.string()),
+        "parse_ok": pa.array(parse, pa.float64()),
+        "meta_ok": pa.array(eng["meta_ok"], pa.bool_()),
+        "audio_ok": pa.array(eng["audio_ok"], pa.bool_()),
+        "fk_ok": pa.array(eng["fk_ok"], pa.bool_()),
+    })
+
+
+CLIPS_VERDICTS_PLANTED_SQL = f"""
+SELECT clip_id, sr_hz, dur_ms, codec, speaker_id,
+  CASE WHEN defect = 'junk' THEN 0.0
+       WHEN defect = 'bad_json' THEN NULL ELSE 1.0 END AS parse_ok,
+  defect <> 'sr_out' AS meta_ok,
+  defect NOT IN ('sr_out', 'dur_lie', 'audio_corrupt', 'audio_trunc') AS audio_ok,
+  NOT orphan AS fk_ok
+FROM read_parquet('{_CLIPS_TRUTH_PARQUET}')
+ORDER BY clip_id, dur_ms, sr_hz, codec
+"""
+
+
+def _clips_violations_vs_planted(sf_dir: str):
+    """Companion flagship differential: the violation ROWS the pipeline emits
+    (clip_id, check) must be exactly the rows the planted defects imply —
+    no misses, no spurious detections.  Message text is engine wording and
+    stays out of the contract; 'transcript' rows for bad_json clips are
+    excluded on both sides (post-repair schema validity is engine-defined —
+    see _clips_verdicts_vs_planted)."""
+    import pandas as pd
+
+    from engine.data.clips import cached_clips_dataset
+    from engine.run import attach_fk_check, validate_clips_dataset
+    from engine.stages import violations_batch
+
+    ds = attach_fk_check(validate_clips_dataset(
+        cached_clips_dataset(10_000, seed=42), batch_size=256))
+    out = ds.map_batches(violations_batch, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .map_batches(lambda t: t.select(["clip_id", "check"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["clip_id", "check"]).take_all()   # small report (~hundreds)
+    truth = pd.read_parquet(_CLIPS_TRUTH_PARQUET)
+    bad_json_ids = set(truth.loc[truth["defect"] == "bad_json", "clip_id"])
+    rows = [(r["clip_id"], r["check"]) for r in out
+            if not (r["check"] == "transcript" and r["clip_id"] in bad_json_ids)]
+    return pa.table({
+        "clip_id": pa.array([r[0] for r in rows], pa.string()),
+        "check": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+CLIPS_VIOLATIONS_PLANTED_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{_CLIPS_TRUTH_PARQUET}')),
+v AS (
+  SELECT clip_id, 'transcript' AS "check" FROM t WHERE defect = 'junk'
+  UNION ALL
+  SELECT clip_id, 'metadata' FROM t WHERE defect = 'sr_out'
+  UNION ALL
+  SELECT clip_id, 'audio' FROM t
+  WHERE defect IN ('dur_lie', 'audio_corrupt', 'audio_trunc')
+  UNION ALL
+  SELECT clip_id, 'referential' FROM t WHERE orphan
+)
+SELECT clip_id, "check" FROM v ORDER BY clip_id, "check"
+"""
+
+
 def _minhash_near_dup(sf_dir: str):
     import ray.data
 
@@ -665,6 +779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": _rolling_fingerprint,
         "image_metadata": _image_metadata,
         "video_frame_sample": _video_frame_sample,
+        "clips_verdicts_vs_planted": _clips_verdicts_vs_planted,
+        "clips_violations_vs_planted": _clips_violations_vs_planted,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -714,4 +830,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": ROLLING_FP_SQL,
         "image_metadata": IMAGE_METADATA_SQL,
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
+        "clips_verdicts_vs_planted": CLIPS_VERDICTS_PLANTED_SQL,
+        "clips_violations_vs_planted": CLIPS_VIOLATIONS_PLANTED_SQL,
     }
