@@ -771,6 +771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": q_sample,
         "lang_quality_documents": q.lang_quality_documents,
         "quality_scores_documents": q.quality_scores_documents,
+        "quantiles_by_returnflag": q.quantiles_by_returnflag,
+        "drift_events_split": q.drift_events_split,
         "audio_features": _audio_features,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
@@ -822,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "lang_quality_documents": q.LANG_QUALITY_SQL,
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
+        "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
+        "drift_events_split": q.DRIFT_EVENTS_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,

@@ -1211,3 +1211,138 @@ UNION ALL
 SELECT n_name AS name, 'nation' AS kind FROM nation
 ORDER BY kind, name
 """
+
+def quantiles_by_returnflag(sf_dir: str):
+    """EXACT grouped quantiles (no t-digest): lineitem quantity per return
+    flag via engine.stages.exact_group_quantiles — distributed value counts
+    + percentile_cont interpolation on the bounded count table.  The exact
+    companion to codec_duration_quantiles the way dedup_exact is to HLL."""
+    from engine.stages import exact_group_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return exact_group_quantiles(
+        ds, key="l_returnflag", value_col="l_quantity",
+        qs={"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95})
+
+
+QUANTILES_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
+  ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+  ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS p75,
+  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity), 4) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+DRIFT_SPLIT_TS_US = 1705363200000000   # 2024-01-16T00:00:00Z in epoch micros
+DRIFT_VALUE_EDGES_LO = 0.0
+DRIFT_VALUE_EDGES_HI = 500.0
+DRIFT_VALUE_EDGES_N = 50               # interior bins; step 10
+
+
+def drift_events_split(sf_dir: str):
+    """EXACT distribution drift on a real table: first half of the events
+    month (ts < 2024-01-16) is the expected epoch, the second half the
+    observed epoch; PSI and KS come from the SAME engine code the clips
+    drift report uses (engine.checks.sketches.psi / ks_statistic), fed with
+    exact distributed counts instead of sampled sketches — which makes the
+    drift MATH hash-oracle-able in SQL.  Axes: event_type (categorical,
+    alphabetical CDF order) and value (fixed uniform histogram edges
+    0..500 step 10, searchsorted-right binning with the rightmost edge in
+    the last interior bin, under/overflow bins explicit)."""
+    import pyarrow.compute as _pc
+
+    from engine.checks.sketches import Histogram, ks_statistic, psi
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    edges = np.linspace(DRIFT_VALUE_EDGES_LO, DRIFT_VALUE_EDGES_HI,
+                        DRIFT_VALUE_EDGES_N + 1)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        half = (ts >= DRIFT_SPLIT_TS_US).astype(np.int8)
+        types = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        values = batch.column("value").to_numpy().astype(np.float64)
+        vbin = np.searchsorted(edges, values, side="right")
+        vbin[values == edges[-1]] = edges.size - 1     # Histogram.update rule
+        axes, bins, halves, cnts = [], [], [], []
+        for h in (0, 1):
+            m = half == h
+            for t, c in zip(*np.unique(types[m], return_counts=True)):
+                axes.append("event_type"); bins.append(str(t))
+                halves.append(h); cnts.append(int(c))
+            for b, c in zip(*np.unique(vbin[m], return_counts=True)):
+                axes.append("value"); bins.append(f"{int(b):04d}")
+                halves.append(h); cnts.append(int(c))
+        return pa.table({"axis": pa.array(axes, pa.string()),
+                         "bin": pa.array(bins, pa.string()),
+                         "half": pa.array(halves, pa.int8()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["axis", "bin", "half"]).sum("cnt")
+    ).to_pandas()   # bounded: axes x bins x 2 rows
+
+    out_axis, out_psi, out_ks = [], [], []
+    for axis, grp in counts.groupby("axis", sort=True):
+        labels = sorted(grp["bin"].unique())
+        idx = {b: i for i, b in enumerate(labels)}
+        vec = {0: np.zeros(len(labels), dtype=np.int64),
+               1: np.zeros(len(labels), dtype=np.int64)}
+        for _, row in grp.iterrows():
+            vec[int(row["half"])][idx[row["bin"]]] = int(row["sum(cnt)"])
+        dummy_edges = np.arange(len(labels) + 1, dtype=np.float64)
+        h_e, h_o = Histogram(dummy_edges[:-1]), Histogram(dummy_edges[:-1])
+        h_e.counts = np.concatenate([[0], vec[0], [0]])   # under/overflow empty
+        h_o.counts = np.concatenate([[0], vec[1], [0]])
+        out_axis.append(axis)
+        out_psi.append(float(_half_away_round(psi(h_e, h_o), 6)))
+        out_ks.append(float(_half_away_round(ks_statistic(h_e, h_o), 6)))
+    return pa.table({"axis": pa.array(out_axis, pa.string()),
+                     "psi": pa.array(out_psi, pa.float64()),
+                     "ks": pa.array(out_ks, pa.float64())})
+
+
+DRIFT_EVENTS_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS half,
+    event_type,
+    CASE WHEN value = 500.0 THEN 50
+         WHEN value < 0 THEN 0
+         WHEN value >= 500.0 THEN 51
+         ELSE CAST(FLOOR(value / 10.0) AS INTEGER) + 1 END AS vbin
+  FROM events
+),
+axes AS (
+  SELECT 'event_type' AS axis, event_type AS bin, half FROM rows_
+  UNION ALL
+  SELECT 'value' AS axis, printf('%04d', vbin) AS bin, half FROM rows_
+),
+b AS (
+  SELECT axis, bin,
+    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ec,
+    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS oc
+  FROM axes GROUP BY axis, bin
+),
+t AS (SELECT axis, SUM(ec) AS et, SUM(oc) AS ot FROM b GROUP BY axis),
+p AS (
+  SELECT b.axis, b.bin,
+    CAST(b.ec AS DOUBLE) / GREATEST(t.et, 1.0) AS ef,
+    CAST(b.oc AS DOUBLE) / GREATEST(t.ot, 1.0) AS ofr,
+    GREATEST(CAST(b.ec AS DOUBLE) / GREATEST(t.et, 1.0), 1e-6) AS e,
+    GREATEST(CAST(b.oc AS DOUBLE) / GREATEST(t.ot, 1.0), 1e-6) AS o
+  FROM b JOIN t ON t.axis = b.axis
+),
+cdf AS (
+  SELECT axis, bin, e, o, ef, ofr,
+    SUM(ef) OVER (PARTITION BY axis ORDER BY bin) AS ecdf,
+    SUM(ofr) OVER (PARTITION BY axis ORDER BY bin) AS ocdf
+  FROM p
+)
+SELECT axis,
+  ROUND(SUM((o - e) * LN(o / e)), 6) AS psi,
+  ROUND(MAX(ABS(ecdf - ocdf)), 6) AS ks
+FROM cdf GROUP BY axis ORDER BY axis
+"""

@@ -496,6 +496,67 @@ def salted_group_digests(ds, key: str = "codec", value_col: str = "dur_ms",
     )
 
 
+def exact_group_quantiles(ds, key: str, value_col: str,
+                          qs: dict[str, float],
+                          round_decimals: int = 4) -> pa.Table:
+    """EXACT per-group quantiles with percentile_cont interpolation, via
+    distributed value counts.
+
+    Contract: the value domain must be bounded-cardinality (discrete or
+    pre-quantized values — prices in cents, integer quantities, rounded
+    scores).  Then per-batch (key, value)->count partials bound the shuffle
+    to O(batches x groups x distinct) rows, the global two-key groupby is
+    small, and the driver's intake is O(groups x distinct) counts — exact
+    quantiles at any row count WITHOUT sorting the data.  For unbounded
+    continuous domains use salted_group_digests (t-digest, approximate)
+    instead; this pair mirrors the HLL/exact-dedup split.
+
+    Interpolation matches SQL percentile_cont: h = (n-1) * q,
+    v = v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * frac(h).
+    """
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key).to_pandas(),
+            "v": batch.column(value_col).to_numpy().astype(np.float64),
+        })
+        g = df.groupby(["k", "v"], sort=False, observed=True).size().reset_index(name="cnt")
+        return pa.table({key: pa.array(g["k"], pa.string()),
+                         value_col: pa.array(g["v"], pa.float64()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, value_col]).sum("cnt")
+    ).to_pandas()   # bounded by contract: groups x distinct values
+
+    out_keys: list[str] = []
+    out_cols: dict[str, list[float]] = {name: [] for name in qs}
+    for k, grp in counts.groupby(key, sort=True):
+        grp = grp.sort_values(value_col)
+        vals = grp[value_col].to_numpy()
+        cum = grp["sum(cnt)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        out_keys.append(k)
+        for name, q in qs.items():
+            h = (n - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            v_lo = vals[np.searchsorted(cum, lo, side="right")]
+            v_hi = vals[np.searchsorted(cum, hi, side="right")]
+            v = v_lo + (v_hi - v_lo) * (h - lo)
+            out_cols[name].append(float(_stage_half_away(v, round_decimals)))
+    return pa.table({key: pa.array(out_keys, pa.string()),
+                     **{name: pa.array(col, pa.float64())
+                        for name, col in out_cols.items()}})
+
+
+def _stage_half_away(x: float, decimals: int) -> float:
+    """SQL ROUND semantics (half away from zero) for derived doubles."""
+    scale = 10.0 ** decimals
+    return float(np.copysign(np.floor(abs(x) * scale + 0.5), x) / scale)
+
+
 def combine_partial_states(states: list[dict]) -> dict:
     """Merge sketch partial states into one state of the same shape (the
     associative kernel behind tree_merge_partials)."""

@@ -228,3 +228,59 @@ def test_drift_clips_query(ray_session):
     assert not any(r["drifted"] for r in rows.values()), rows
     assert all(0 <= r["psi"] < 0.2 for r in rows.values())
     assert all(0 <= r["ks"] <= 1 for r in rows.values())
+
+
+def test_exact_group_quantiles_matches_numpy(ray_session):
+    """exact_group_quantiles == np.percentile(linear) on a skewed discrete
+    corpus (the percentile_cont interpolation contract), across group sizes
+    that hit every floor/ceil branch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import exact_group_quantiles
+
+    rng = np.random.default_rng(7)
+    keys, vals = [], []
+    for k, n in (("a", 1), ("b", 2), ("c", 997), ("d", 10_000)):
+        keys += [k] * n
+        vals += list(rng.integers(0, 40, n).astype(np.float64))
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+    out = exact_group_quantiles(ds, "k", "v",
+                                {"p25": 0.25, "p50": 0.5, "p95": 0.95})
+    got = {r["k"]: r for r in out.to_pylist()}
+    arr = {"a": vals[:1], "b": vals[1:3], "c": vals[3:1000], "d": vals[1000:]}
+    for k, a in arr.items():
+        for name, q in (("p25", 25), ("p50", 50), ("p95", 95)):
+            expected = float(np.percentile(np.array(a), q, method="linear"))
+            assert abs(got[k][name] - expected) < 1e-9, (k, name)
+
+
+def test_drift_events_split_identical_halves_is_zero(ray_session, tmp_path):
+    """PSI and KS are exactly 0 when the two epochs carry identical
+    distributions (the engine and SQL binning/eps conventions agree on the
+    degenerate case too)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import drift_events_split
+
+    n = 1000
+    ts = np.array(
+        ["2024-01-05T12:00:00"] * n + ["2024-01-25T12:00:00"] * n,
+        dtype="datetime64[us]")
+    types = (["click", "view", "error", "signup", "purchase"] * (n // 5)) * 2
+    values = np.tile(np.linspace(0.5, 480.5, n), 2)
+    t = pa.table({
+        "ts": pa.array(ts),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(values, pa.float64()),
+    })
+    d = tmp_path / "events_ident"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = drift_events_split(str(d)).to_pylist()
+    assert {r["axis"] for r in out} == {"event_type", "value"}
+    for r in out:
+        assert r["psi"] == 0.0 and r["ks"] == 0.0, r
