@@ -773,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_documents": q.quality_scores_documents,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "drift_events_split": q.drift_events_split,
+        "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
@@ -826,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "drift_events_split": q.DRIFT_EVENTS_SQL,
+        "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,

@@ -1346,3 +1346,69 @@ SELECT axis,
   ROUND(MAX(ABS(ecdf - ocdf)), 6) AS ks
 FROM cdf GROUP BY axis ORDER BY axis
 """
+
+HOP_US = 10_800_000_000           # 3-hour hop
+WINDOW_SPAN = 2                    # window length = 2 hops (6 h, overlapping)
+
+
+def events_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (6 h windows, 3 h hop): each event lands in
+    exactly WINDOW_SPAN overlapping windows.  Scale shape: window assignment
+    is a vectorized per-batch transform (no shuffle for the explode — rows
+    are duplicated inside the batch), then the same partial-combiner ->
+    small groupby pattern as events_daily_by_type bounds the exchange to
+    O(batches x windows x types) rows.  Ray Data has no native window
+    operator; this is the composition the north rule asks to document:
+    assignment in map_batches, aggregation in a keyed groupby."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.timestamp("us")) \
+            .to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (ts_us // HOP_US) * HOP_US
+        types = batch.column("event_type").to_pandas()
+        cents = _half_away_cents(batch.column("value").to_numpy(), 10000.0)
+        frames = []
+        for k in range(WINDOW_SPAN):
+            frames.append(pd.DataFrame({
+                "ws_us": base - k * HOP_US,
+                "event_type": types,
+                "value_c": cents,
+            }))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["ws_us", "event_type"], as_index=False).agg(
+            n=("value_c", "size"), sum_c=("value_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ws = batch.column("ws_us").to_numpy().astype("datetime64[us]")
+        return pa.table({
+            "window_start": pa.array(
+                np.datetime_as_string(ws, unit="s").astype(object), pa.string()),
+            "event_type": batch.column("event_type"),
+            "n": batch.column("sum(n)"),
+            "sum_value": pa.array(_half_away_round(
+                batch.column("sum(sum_c)").to_numpy() / 10000.0, 4)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["ws_us", "event_type"]).sum(["n", "sum_c"]) \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["window_start", "event_type"])
+
+
+EVENTS_HOPPING_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+), w AS (
+  SELECT event_type, value,
+    ((us // 10800000000) - k.k) * 10800000000 AS ws
+  FROM ev CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1 AS k) k
+)
+SELECT strftime(make_timestamp(ws), '%Y-%m-%dT%H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0, 4) AS sum_value
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""

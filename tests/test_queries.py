@@ -284,3 +284,34 @@ def test_drift_events_split_identical_halves_is_zero(ray_session, tmp_path):
     assert {r["axis"] for r in out} == {"event_type", "value"}
     for r in out:
         assert r["psi"] == 0.0 and r["ks"] == 0.0, r
+
+
+def test_events_hopping_window_counts(ray_session, tmp_path):
+    """Every event lands in exactly WINDOW_SPAN windows, window starts are
+    hop-aligned, and a planted single-window corpus reproduces closed-form
+    counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import WINDOW_SPAN, events_hopping_window
+
+    ts = np.array(["2024-01-01T00:30:00"] * 3 + ["2024-01-01T03:30:00"] * 2,
+                  dtype="datetime64[us]")
+    t = pa.table({
+        "ts": pa.array(ts),
+        "event_type": pa.array(["click"] * 5, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 10.0, 20.0], pa.float64()),
+    })
+    d = tmp_path / "events_hop"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    rows = events_hopping_window(str(d)).to_pandas()
+    # 5 events x 2 windows = 10 window-memberships
+    assert int(rows["n"].sum()) == 5 * WINDOW_SPAN
+    got = {r.window_start: (r.n, r.sum_value) for r in rows.itertuples()}
+    # [00:00, 06:00) sees all 5; [21:00 prev day, 03:00) sees the first 3;
+    # [03:00, 09:00) sees the last 2.
+    assert got["2024-01-01T00:00:00"] == (5, 36.0)
+    assert got["2023-12-31T21:00:00"] == (3, 6.0)
+    assert got["2024-01-01T03:00:00"] == (2, 30.0)
