@@ -113,10 +113,22 @@ def validate_clips_dataset(ds, *, repair_concurrency=None, audio_concurrency=Non
 
 
 def _fused_concurrency() -> tuple[int, int]:
+    """Fused-pool bounds: cap = cpus-2 (headroom for generator/read tasks).
+
+    On wide machines the pool PRE-STARTS at 3/4 of the cap: Ray's actor-pool
+    autoscaler ramps too slowly to fill 30 slots inside a ~10 s job, which
+    left the flagship at ~5-way effective parallelism on 32 CPUs (41 s of
+    actor work in a 7.6 s window; measured round 3 — prestart took the same
+    corpus from 9.6k to 16.6k clips/s).  Below 16 CPUs prestart is a LOSS:
+    pinned actors starve the read tasks (measured 8-CPU regression, and a
+    (2,2) pool deadlocks outright at 2 CPUs), so small machines keep the
+    autoscaled (1, cap) shape."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus - 2))  # leave headroom for generator/read tasks
+    cap = max(2, cpus - 2)
+    min_actors = max(1, (cpus * 3) // 4) if cpus >= 16 else 1
+    return (min_actors, cap)
 
 
 def attach_fk_check(ds, seed: int = 42):

@@ -215,3 +215,22 @@ def test_shrinking_partitions_purges_stale_output(ray_session, tmp_path):
                            batch_size=128)
     assert m2["duplicate_id_groups"] == fresh["duplicate_id_groups"]
     assert m2["overall_pass"] == fresh["overall_pass"]
+
+
+def test_fused_concurrency_prestarts_wide_machines(ray_session, monkeypatch):
+    """Round-3 perf fix: on wide machines the fused pool pre-starts at 3/4 of
+    cap (the autoscaler ramps too slowly to fill a short job — measured 9.6k
+    -> 16.6k clips/s on 32 CPUs), while small machines keep min=1 (a pinned
+    pool starves reads at 8 CPUs and deadlocks at 2)."""
+    import ray
+
+    from engine.run import _fused_concurrency
+
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 32})
+    assert _fused_concurrency() == (24, 30)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 16})
+    assert _fused_concurrency() == (12, 14)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 8})
+    assert _fused_concurrency() == (1, 6)
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 2})
+    assert _fused_concurrency() == (1, 2)
