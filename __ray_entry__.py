@@ -232,6 +232,90 @@ ORDER BY a, b
 """
 
 
+def _duplicate_clusters(sf_dir: str):
+    """Near-dup CLUSTER ids: exact Jaccard>=0.9 pairs → connected components
+    (min-doc-id label).  The transitive-closure step a dedup pipeline needs
+    after pairwise detection; oracled via a contract+recurse DuckDB CTE
+    (2 min-label contraction steps, then reach-enumeration on the tiny
+    quotient graph — exact for any component diameter)."""
+    import ray.data
+
+    from engine.ops.cc import connected_components
+    from engine.ops.dedup import jaccard_all_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = jaccard_all_pairs(docs, min_jaccard=0.9).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return connected_components(pairs).sort("doc_id")
+
+
+DUPLICATE_CLUSTERS_SQL = r"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
+  FROM documents
+),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.w, b.w)) > 0
+    AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9
+),
+e AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+      UNION SELECT a, a FROM p UNION SELECT b AS a, b FROM p),
+l1 AS MATERIALIZED (SELECT e.a AS node, MIN(e.b) AS label FROM e GROUP BY e.a),
+l2 AS MATERIALIZED (SELECT e.a AS node, MIN(l1.label) AS label
+       FROM e JOIN l1 ON l1.node = e.b GROUP BY e.a),
+ec AS MATERIALIZED (SELECT DISTINCT la.label AS a, lb.label AS b
+       FROM p JOIN l2 la ON la.node = p.a JOIN l2 lb ON lb.node = p.b
+       WHERE la.label <> lb.label),
+ec2 AS MATERIALIZED (SELECT a, b FROM ec UNION SELECT b AS a, a AS b FROM ec),
+reach(node, r) AS (
+  SELECT DISTINCT label AS node, label AS r FROM l2
+  UNION
+  SELECT ec2.a, reach.r FROM ec2 JOIN reach ON reach.node = ec2.b
+)
+SELECT l2.node AS doc_id, MIN(reach.r) AS cluster_id
+FROM l2 JOIN reach ON reach.node = l2.label
+GROUP BY l2.node
+ORDER BY doc_id
+"""
+
+
+def _near_dup_clusters(sf_dir: str):
+    """The 100 TB-shaped cluster pipeline: minhash-LSH candidates → exact
+    Jaccard>=0.9 verify → connected components.  Rows-only (LSH recall < 1
+    by construction); recall vs the exact duplicate_clusters pair set is
+    gated in tests/test_recall.py."""
+    import ray.data
+
+    from engine.ops.cc import connected_components
+    from engine.ops.dedup import jaccard_verify, minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    # width=1 shingles = distinct-token Jaccard, the same measure as
+    # jaccard_all_pairs / the oracle.  The corpus's planted near-dups share
+    # VOCABULARY, not word order (token-J 0.9 pairs measure 3-shingle-J
+    # 0.0), so both the LSH estimate and the exact verify must run at the
+    # token level to agree with the exact companion.
+    # pair_mode="hybrid": capped clique (pair coverage) ∪ spanning chain
+    # (bucket connectivity past the cap) — O(cap² + n) in the hottest
+    # bucket.  The chain alone is too brittle here: verification rejects
+    # chain links between bucket members whose true Jaccard is under 0.9
+    # (the blob's edge density is ~1/3), fragmenting the cluster.
+    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.5, shingle_width=1,
+                             pair_mode="hybrid", cap=512)
+    cand = cand.map_batches(lambda t: t.select(["a", "b"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    pairs = jaccard_verify(cand, docs, min_jaccard=0.9, width=1).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return connected_components(pairs).sort("doc_id")
+
+
 def _embedding_near_dup_exact(sf_dir: str):
     """EXACT all-pairs cosine near-dup (ground-truth for the LSH-bucketed
     family), hash-oracled against DuckDB list_cosine_similarity (round-2
@@ -776,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
         "jaccard_all_pairs": _jaccard_all_pairs,
+        "duplicate_clusters": _duplicate_clusters,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "image_dims": _image_dims,
         "video_dims": _video_dims,
@@ -790,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _minhash_near_dup,
         "simhash_near_dup": _simhash_near_dup,
         "jaccard_near_dup": _jaccard_near_dup,
+        "near_dup_clusters": _near_dup_clusters,
         "knn_lsh_top10": _knn_lsh_top10,
         "knn_ivf_top10": _knn_ivf_top10,
         "embedding_near_dup": _embedding_near_dup,
@@ -830,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
+        "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,
         "image_dims": IMAGE_DIMS_SQL,
         "video_dims": VIDEO_DIMS_SQL,

@@ -297,6 +297,26 @@ def capped_run_pairs(key_cols: tuple, cap: int, label: str) -> tuple[np.ndarray,
     return np.concatenate(ai_parts), np.concatenate(bi_parts)
 
 
+def chained_run_pairs(key_cols: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Consecutive (i, i+1) index pairs within each duplicate-key run.
+
+    The connectivity-only alternative to ``capped_run_pairs``: a bucket of n
+    members contributes n-1 edges (a path), never C(n,2) — linear in the
+    hottest bucket, so no cap or truncation is needed.  The right shape when
+    downstream is connected-components clustering (a spanning path connects
+    the cluster exactly as well as the clique); the wrong shape when every
+    individual pair must surface (use capped_run_pairs there).
+    """
+    ai_parts, bi_parts = [], []
+    for start, length in duplicate_runs(*key_cols):
+        idx = np.arange(start, start + length - 1)
+        ai_parts.append(idx)
+        bi_parts.append(idx + 1)
+    if not ai_parts:
+        return np.empty(0, np.intp), np.empty(0, np.intp)
+    return np.concatenate(ai_parts), np.concatenate(bi_parts)
+
+
 def _salt_partition(key: np.ndarray, band: np.ndarray, n_parts: int) -> np.ndarray:
     """Stable partition id from (band, band_key) for the bucket shuffle."""
     mixed = key.astype(np.uint64) ^ (band.astype(np.uint64)
@@ -312,12 +332,25 @@ def _bucket_shuffle_parts() -> int:
 
 
 def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
-                              min_est_jaccard: float = 0.5, cap: int = 64) -> pa.Table:
+                              min_est_jaccard: float = 0.5, cap: int = 64,
+                              pair_mode: str = "clique") -> pa.Table:
     """All candidate pairs within one hash partition of band rows.
 
     Sorts the partition by (band, band_key, id), finds duplicate-key runs
     vectorized, and only loops over the (rare) multi-member buckets.  Cap
     semantics and truncation logging match bucket_candidate_pairs.
+
+    pair_mode="clique" (default): capped all-pairs per bucket — every
+    near-dup pair surfaces, hot buckets truncate at ``cap``.
+    pair_mode="chain": consecutive pairs per bucket (n-1 edges, uncapped) —
+    linear in bucket size, for connected-components clustering where a
+    spanning path suffices and truncation would fragment clusters.
+    pair_mode="hybrid": clique ∪ chain — pair coverage up to the cap PLUS
+    guaranteed bucket connectivity past it (the capped clique alone
+    systematically orphans every member beyond the first ``cap`` sorted
+    ids; the chain alone fragments when downstream verification rejects a
+    link).  Duplicate (a, b) rows are collapsed by the caller's
+    groupby(a, b) dedup.  Cost stays O(cap² + n) per bucket.
     """
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
@@ -335,7 +368,14 @@ def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
     order = np.lexsort((ids, key, band))
     band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
 
-    ai, bi = capped_run_pairs((band, key), cap, "minhash")
+    if pair_mode == "chain":
+        ai, bi = chained_run_pairs((band, key))
+    elif pair_mode == "hybrid":
+        ai1, bi1 = capped_run_pairs((band, key), cap, "minhash")
+        ai2, bi2 = chained_run_pairs((band, key))
+        ai, bi = np.concatenate([ai1, ai2]), np.concatenate([bi1, bi2])
+    else:
+        ai, bi = capped_run_pairs((band, key), cap, "minhash")
     if ai.size == 0:
         return empty
     est = (sigs[ai] == sigs[bi]).mean(axis=1)
@@ -349,7 +389,8 @@ def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 64, bands: int = 16, min_est_jaccard: float = 0.5,
-                      cap: int = 64, concurrency=None, n_parts: int | None = None):
+                      cap: int = 64, concurrency=None, n_parts: int | None = None,
+                      shingle_width: int = 3, pair_mode: str = "clique"):
     """Full near-dup pipeline: docs → candidate pairs (deduped across bands).
 
     The bucket stage shuffles on a salted partition of (band, band_key) and
@@ -363,13 +404,15 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # driver and let the task pool pickle it per task — an actor pool here
     # pays ~1s of pool spin-up to cache state that costs microseconds to
     # ship.  Pass concurrency=(lo, hi) to force an actor pool anyway.
-    stage = MinHashStage(k=k, text_col=text_col, id_col=id_col)
+    stage = MinHashStage(k=k, shingle_width=shingle_width, text_col=text_col,
+                         id_col=id_col)
     if concurrency is None:
         sigs = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     else:
         sigs = ds.map_batches(
             MinHashStage,
-            fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+            fn_constructor_kwargs={"k": k, "shingle_width": shingle_width,
+                                   "text_col": text_col, "id_col": id_col},
             batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
         )
 
@@ -382,7 +425,8 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     band_rows = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     pairs = band_rows.groupby("part").map_groups(
         lambda g: partition_candidate_pairs(g, id_col=id_col,
-                                            min_est_jaccard=min_est_jaccard, cap=cap),
+                                            min_est_jaccard=min_est_jaccard,
+                                            cap=cap, pair_mode=pair_mode),
         batch_format="pyarrow",
     )
     # A pair can surface from several bands: keep the max estimate once.
