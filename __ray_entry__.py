@@ -251,7 +251,12 @@ def _duplicate_clusters(sf_dir: str):
     return connected_components(pairs).sort("doc_id")
 
 
-DUPLICATE_CLUSTERS_SQL = r"""
+# Shared CTE chain for the two cluster oracles: exact token-Jaccard>=0.9
+# pairs, then connected components via 2 min-label contraction steps +
+# reach-enumeration recursion on the contracted quotient graph (exact for
+# any component diameter; both the naive reach CTE and a deep chained-CTE
+# min-label are pathological in DuckDB 1.0).
+_CC_CTES = r"""
 WITH RECURSIVE t AS MATERIALIZED (
   SELECT doc_id, list_distinct(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
   FROM documents
@@ -277,11 +282,47 @@ reach(node, r) AS (
   UNION
   SELECT ec2.a, reach.r FROM ec2 JOIN reach ON reach.node = ec2.b
 )
+"""
+
+DUPLICATE_CLUSTERS_SQL = _CC_CTES + r"""
 SELECT l2.node AS doc_id, MIN(reach.r) AS cluster_id
 FROM l2 JOIN reach ON reach.node = l2.label
 GROUP BY l2.node
 ORDER BY doc_id
 """
+
+DEDUP_NEAR_SQL = _CC_CTES + r"""
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT l2.node
+  FROM l2 JOIN reach ON reach.node = l2.label
+  GROUP BY l2.node
+  HAVING l2.node <> MIN(reach.r)
+)
+ORDER BY d.doc_id
+"""
+
+
+def _dedup_near_documents(sf_dir: str):
+    """The dedup DELIVERABLE: per near-dup cluster (exact token-J >= 0.9,
+    transitive) keep only the representative (min doc id); singletons
+    survive untouched.  Size-gated broadcast filter — the corpus is never
+    shuffled unless the drop set exceeds the broadcast gate."""
+    import ray.data
+
+    from engine.ops.cc import connected_components, keep_canonical
+    from engine.ops.dedup import jaccard_all_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = jaccard_all_pairs(docs, min_jaccard=0.9).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    clusters = connected_components(pairs)
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+    return keep_canonical(ids, clusters).sort("doc_id")
 
 
 def _near_dup_clusters(sf_dir: str):
@@ -861,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _audio_features,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
+        "dedup_near_documents": _dedup_near_documents,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "image_dims": _image_dims,
         "video_dims": _video_dims,
@@ -917,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": AUDIO_FEATURES_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
+        "dedup_near_documents": DEDUP_NEAR_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,
         "image_dims": IMAGE_DIMS_SQL,
         "video_dims": VIDEO_DIMS_SQL,

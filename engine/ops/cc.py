@@ -109,6 +109,62 @@ def _partition_min(batch: pa.Table, key: str, val: str) -> pa.Table:
     return pa.table({key: pa.array(k[starts]), val: pa.array(mins)})
 
 
+# Past this many drop-ids the broadcast isin filter stops being "small";
+# hand the anti-join to the shuffle implementation instead.
+KEEP_CANONICAL_MAX_BROADCAST_IDS = 1_000_000
+
+
+def keep_canonical(docs_ds, clusters_ds, *, id_col: str = "doc_id",
+                   max_broadcast_ids: int = KEEP_CANONICAL_MAX_BROADCAST_IDS,
+                   num_partitions: int | None = None):
+    """Drop every clustered doc except its cluster representative.
+
+    ``clusters_ds`` is connected_components output (doc_id, cluster_id);
+    the representative is the row with doc_id == cluster_id.  Returns the
+    surviving rows of ``docs_ds`` (all columns), i.e. the deduplicated
+    corpus.
+
+    The drop set is proportional to the DUPLICATE set, not the corpus —
+    the common case broadcasts it once (ray.put) and filters the corpus
+    scan with a vectorized isin: zero shuffle of the corpus.  Past
+    ``max_broadcast_ids`` the corpus is anti-joined against the drop set
+    instead (one hash shuffle of (id)-projected rows), so a pathological
+    everything-is-duplicate input never materializes on the driver.
+    """
+    import ray
+    import ray.data
+
+    drop = clusters_ds.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t.column("doc_id"), t.column("cluster_id")))
+        .select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_drop = drop.count()
+    if n_drop == 0:
+        return docs_ds
+
+    if n_drop > max_broadcast_ids:
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            num_partitions = max(2, min(4 * cpus, n_drop // 262_144 + 1))
+        if id_col != "doc_id":
+            drop = drop.map_batches(
+                lambda t: t.rename_columns([id_col]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        return docs_ds.join(drop, join_type="left_anti",
+                            num_partitions=num_partitions, on=(id_col,))
+
+    drop_ids, _ = _edges_to_numpy(drop, "doc_id", "doc_id")
+    drop_ref = ray.put(np.unique(drop_ids))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, ray.get(drop_ref))
+        return batch.filter(pa.array(mask))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
                          max_driver_edges: int = CC_MAX_DRIVER_EDGES,
                          max_rounds: int = 64,

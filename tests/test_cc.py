@@ -118,6 +118,40 @@ def test_connected_components_max_rounds_is_loud(ray_session):
                             max_rounds=2)
 
 
+def test_keep_canonical_broadcast_and_join_paths_agree(ray_session):
+    """Both size-gate branches must drop exactly the clustered non-reps."""
+    import ray.data
+
+    from engine.ops.cc import keep_canonical
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"d{i}" for i in range(10)])}))
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 5, 7, 3, 9], pa.int64()),
+        "cluster_id": pa.array([2, 2, 2, 3, 3], pa.int64())}))
+    expect = [0, 1, 2, 3, 4, 6, 8]
+    bcast = sorted(r["doc_id"] for r in keep_canonical(docs, clusters).take_all())
+    joined = sorted(r["doc_id"] for r in keep_canonical(
+        docs, clusters, max_broadcast_ids=0, num_partitions=2).take_all())
+    assert bcast == expect
+    assert joined == expect
+
+
+def test_keep_canonical_no_duplicates_is_identity(ray_session):
+    import ray.data
+
+    from engine.ops.cc import keep_canonical
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64())}))
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64())}))
+    assert sorted(r["doc_id"] for r in keep_canonical(docs, clusters).take_all()) \
+        == [1, 2, 3]
+
+
 def test_near_dup_cluster_pair_recall(ray_session):
     """The LSH cluster pipeline must recover >=90% of the exact >=0.9-Jaccard
     co-cluster pairs (minhash candidate probability at j=0.9 with k=64/b=16
