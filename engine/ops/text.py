@@ -204,3 +204,152 @@ class FingerprintStage:
         rolls = np.array([self.rolling_min(t or "") for t in texts], dtype=np.uint64)
         return batch.append_column("md5", pa.array(md5s, pa.string())) \
             .append_column("roll_fp", pa.array(rolls.astype(np.int64)))
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+def term_doc_counts(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Per-batch (doc_id, term, tf) rows — the wordcount combiner.
+
+    Tokenizes with TOKEN_RE (the RE2/DuckDB-aligned ASCII class) and counts
+    duplicates per doc vectorized: one factorize over the batch's token
+    stream, then one np.unique over (doc_index, term_code) pairs.  Documents
+    with no tokens produce no rows (matches SQL UNNEST semantics).
+    """
+    import pandas as pd
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    toks: list = []
+    doc_idx: list = []
+    for i, t in enumerate(texts):
+        words = TOKEN_RE.findall(t or "")
+        toks.extend(words)
+        doc_idx.append(np.full(len(words), i, dtype=np.int64))
+    if not toks:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+    didx = np.concatenate(doc_idx)
+    pair = didx * np.int64(len(uniques)) + codes
+    upair, tf = np.unique(pair, return_counts=True)
+    return pa.table({
+        id_col: pa.array(ids[upair // len(uniques)]),
+        "term": pa.array(uniques[upair % len(uniques)].astype(object), pa.string()),
+        "tf": pa.array(tf.astype(np.int64)),
+    })
+
+
+# Above this vocabulary size the df map is no longer a "small side";
+# fall through to a term-keyed hash join instead of a driver broadcast.
+TFIDF_MAX_BROADCAST_TERMS = 1_000_000
+
+
+def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_broadcast_terms: int = TFIDF_MAX_BROADCAST_TERMS,
+                      num_partitions: int | None = None):
+    """Per-document top-k characteristic terms, tf-idf ranked.
+
+    Rank order is (tf DESC, df ASC, term ASC) — raw term frequency with
+    rarity (document frequency) breaking ties.  This is the integer-exact
+    skeleton of tf-idf: the float score tf·ln(N/df) induces the same order
+    for equal tf (monotone in df), and keeping the ranking integral makes
+    the query bit-reproducible in a SQL oracle (no float rounding hazard).
+
+    Scale shape: (1) one wordcount map producing (doc, term, tf) partials —
+    the only stage that reads text; (2) df = groupby(term).count over those
+    rows (the classic wordcount shuffle, O(distinct term-doc pairs));
+    (3) df attached back either via a size-gated driver broadcast
+    (vocabulary <= max_broadcast_terms: a pandas-map lookup per batch, no
+    shuffle) or a term-keyed hash join; (4) per-doc top-k via the repo's
+    salted-partition windowed-rank pattern — O(partitions) dispatch, one
+    vectorized lexsort per partition.
+    """
+    import ray
+    import ray.data
+
+    from engine.stages import bucket_shuffle_partitions
+
+    td = ds.map_batches(
+        lambda t: term_doc_counts(t, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    df = td.groupby("term").count() \
+           .map_batches(lambda t: t.rename_columns(["term", "df"]),
+                        batch_format="pyarrow", zero_copy_batch=True) \
+           .materialize()
+    n_terms = df.count()
+
+    if n_terms > max_broadcast_terms:
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            num_partitions = max(2, min(4 * cpus, n_terms // 262_144 + 1))
+        with_df = td.join(df, join_type="inner", num_partitions=num_partitions,
+                          on=("term",))
+    else:
+        import pandas as pd
+
+        parts = [b for b in df.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        table = pa.concat_tables(parts) if parts else pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        df_map = pd.Series(table.column("df").to_numpy(zero_copy_only=False),
+                           index=pd.Index(table.column("term").to_pylist()))
+        df_ref = ray.put(df_map)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("df", pa.array([], pa.int64()))
+            lookup = ray.get(df_ref)
+            vals = lookup.reindex(batch.column("term").to_pylist()).to_numpy()
+            return batch.append_column("df", pa.array(vals.astype(np.int64)))
+
+        with_df = td.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    n_parts = bucket_shuffle_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def topk_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        dfv = group.column("df").to_numpy(zero_copy_only=False)
+        terms = np.asarray(group.column("term").to_pylist(), dtype="U")
+        # numpy '<U' sorts by code point == UTF-8 byte order == DuckDB's
+        # binary collation, so the term tie-break matches the oracle.
+        order = np.lexsort((terms, dfv, -tf, ids))
+        ids, tf, dfv, terms = ids[order], tf[order], dfv[order], terms[order]
+        new_doc = np.empty(n, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new_doc)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        keep = rank <= k
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "term": pa.array(terms[keep].astype(object), pa.string()),
+            "tf": pa.array(tf[keep]),
+            "df": pa.array(dfv[keep]),
+            "rank": pa.array(rank[keep]),
+        })
+
+    return with_df.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("part").map_groups(topk_partition, batch_format="pyarrow")

@@ -503,6 +503,34 @@ FROM documents ORDER BY doc_id
 """
 
 
+def top_terms_per_document(sf_dir: str, k: int = 3):
+    """Per-doc top-3 characteristic terms (tf DESC, df ASC, term ASC) —
+    the integer-exact tf-idf skeleton; see engine.ops.text.top_terms_per_doc
+    for the wordcount-shuffle / size-gated df broadcast scale shape."""
+    from engine.ops.text import top_terms_per_doc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_terms_per_doc(ds, k=k).sort(["doc_id", "rank"])
+
+
+TOP_TERMS_SQL = r"""
+WITH td AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS term
+  FROM documents
+),
+tdc AS (SELECT doc_id, term, COUNT(*) AS tf FROM td GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tdc GROUP BY term),
+ranked AS (
+  SELECT tdc.doc_id, tdc.term, tdc.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY tdc.doc_id
+                            ORDER BY tdc.tf DESC, dfreq.df ASC, tdc.term ASC) AS rn
+  FROM tdc JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank
+"""
+
+
 def fingerprint_md5_documents(sf_dir: str):
     from engine.ops.text import FingerprintStage
 

@@ -423,3 +423,46 @@ def test_all_pairs_cosine_exact_and_gate(emb_ds, monkeypatch):
     monkeypatch.setattr(sim, "ALL_PAIRS_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="gated"):
         sim.all_pairs_cosine(emb_ds)
+
+
+def test_top_terms_broadcast_and_join_paths_agree(ray_session):
+    """tf-idf rank: both df-attach branches must produce the same top-k,
+    and the rank order (tf DESC, df ASC, term ASC) must hold."""
+    import ray.data
+
+    from engine.ops.text import top_terms_per_doc
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "apple apple banana zebra",       # tf: apple 2; tie banana/zebra
+            "banana banana apple",
+            "",                                # tokenless doc -> no rows
+        ])}))
+
+    def rows(ds):
+        return sorted(((r["doc_id"], r["rank"], r["term"], r["tf"], r["df"])
+                       for r in ds.take_all()))
+
+    bcast = rows(top_terms_per_doc(docs, k=2))
+    joined = rows(top_terms_per_doc(docs, k=2, max_broadcast_terms=0,
+                                    num_partitions=2))
+    # doc1: apple (tf2) then zebra (tf1, df1 beats banana df2).
+    # doc2: banana (tf2) then apple (tf1).  doc3 absent.
+    expect = [(1, 1, "apple", 2, 2), (1, 2, "zebra", 1, 1),
+              (2, 1, "banana", 2, 2), (2, 2, "apple", 1, 2)]
+    assert bcast == expect
+    assert joined == expect
+
+
+def test_term_doc_counts_vectorized_counts():
+    from engine.ops.text import term_doc_counts
+
+    batch = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["x y x \x0by", None])})
+    t = term_doc_counts(batch)
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in t.to_pylist()}
+    # \x0b (vertical tab) is NOT whitespace in the RE2/ASCII class: "x" and
+    # "\x0by" stay distinct tokens, None text contributes nothing.
+    assert got == {(7, "x"): 2, (7, "y"): 1, (7, "\x0by"): 1}
