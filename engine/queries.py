@@ -978,6 +978,52 @@ ORDER BY doc_id
 """
 
 
+def stratified_sample_documents(sf_dir: str, cap: int = 50):
+    """Equal-allocation stratified sample: ~``cap`` docs per language.
+
+    The balance-the-strata op a training-data pipeline uses to stop one
+    dominant language swamping a mixture.  Per-stratum keep threshold is
+    floor(cap·65536 / stratum_n) clamped at 65536, applied to the first 4
+    md5 hex chars of the doc id — deterministic across retries, and
+    DuckDB-expressible so the query hash-matches an oracle.
+
+    Scale shape: stratum counts are a tiny groupby (strata are languages —
+    bounded cardinality), the thresholds broadcast as a driver-pickled
+    dict, and the sample itself is a stateless streaming filter over the
+    corpus scan — no shuffle of the corpus at any size.
+    """
+    import hashlib
+
+    counts = _read(sf_dir, "documents", columns=["lang"]) \
+        .groupby("lang").count().take_all()
+    thresh = {r["lang"]: min(65536, cap * 65536 // r["count()"]) for r in counts}
+    thresh_hex = {lang: format(t, "04x") for lang, t in thresh.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = pa.array([
+            thresh.get(lang, 0) >= 65536
+            or hashlib.md5(str(i).encode()).hexdigest()[:4] < thresh_hex[lang]
+            for i, lang in zip(ids, langs)])
+        return batch.filter(mask)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")
+
+
+STRATIFIED_SAMPLE_SQL = r"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT lang, LEAST(65536, (50 * 65536) // n) AS thr FROM c)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN t USING (lang)
+WHERE t.thr >= 65536
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', t.thr)
+ORDER BY d.doc_id
+"""
+
+
 def lang_quality_documents(sf_dir: str):
     """Language-ID + deterministic integer text metrics per document.
 

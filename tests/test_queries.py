@@ -315,3 +315,23 @@ def test_events_hopping_window_counts(ray_session, tmp_path):
     assert got["2024-01-01T00:00:00"] == (5, 36.0)
     assert got["2023-12-31T21:00:00"] == (3, 6.0)
     assert got["2024-01-01T03:00:00"] == (2, 30.0)
+
+
+def test_stratified_sample_balances_strata(ray_session):
+    """Equal allocation: every language lands near the cap (md5 variance
+    aside), dominant strata no longer dwarf the rest, and the rule is
+    deterministic across runs."""
+    from collections import Counter
+
+    from engine.queries import stratified_sample_documents
+
+    rows = stratified_sample_documents(SF_DIR, cap=50).take_all()
+    again = stratified_sample_documents(SF_DIR, cap=50).take_all()
+    assert rows == again
+    by_lang = Counter(r["lang"] for r in rows)
+    assert len(by_lang) >= 3
+    assert all(20 <= n <= 80 for n in by_lang.values()), by_lang
+    # cap larger than any stratum keeps the corpus whole
+    total = stratified_sample_documents(SF_DIR, cap=10**6).count()
+    import pyarrow.parquet as pq
+    assert total == pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
