@@ -896,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_region_nation_names": q.union_region_nation_names,
         "sample_documents": q_sample,
         "stratified_sample_documents": q.stratified_sample_documents,
+        "long_tail_documents": q.long_tail_documents,
         "lang_quality_documents": q.lang_quality_documents,
         "quality_scores_documents": q.quality_scores_documents,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
@@ -955,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "union_region_nation_names": q.UNION_SQL,
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "stratified_sample_documents": q.STRATIFIED_SAMPLE_SQL,
+        "long_tail_documents": q.LONG_TAIL_SQL,
         "lang_quality_documents": q.LANG_QUALITY_SQL,
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,

@@ -1024,6 +1024,77 @@ ORDER BY d.doc_id
 """
 
 
+def long_tail_documents(sf_dir: str, pct_num: int = 9, pct_den: int = 10):
+    """Quantile-threshold outlier filter: documents whose length strictly
+    exceeds their language's p90 (the filter a curation pipeline uses to
+    route suspiciously-long docs to review / truncation).
+
+    The threshold is the integer-exact discrete percentile — smallest value
+    whose cumulative rank satisfies rank·den >= n·num, pure integer
+    arithmetic on BOTH sides (percentile_disc's float ceil is ambiguous at
+    exact multiples, so the oracle uses the same rational rule).
+
+    Scale shape (same contract as exact_group_quantiles): per-batch
+    (lang, n_chars)->count partials bound the shuffle to
+    O(batches × groups × distinct lengths); the driver intake is the
+    bounded count table; the filter itself is a stateless streaming scan
+    with a broadcast threshold dict — the corpus is never shuffled.
+    """
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "n_chars": batch.column("n_chars").to_numpy(),
+        })
+        g = df.groupby(["lang", "n_chars"], sort=False, observed=True) \
+              .size().reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n_chars": pa.array(g["n_chars"], pa.int64()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
+
+    counts = _read(sf_dir, "documents", columns=["lang", "n_chars"]) \
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["lang", "n_chars"]).sum("cnt") \
+        .to_pandas()   # bounded: languages × distinct lengths
+
+    thresholds: dict[str, int] = {}
+    for lang, grp in counts.groupby("lang", sort=False):
+        grp = grp.sort_values("n_chars")
+        vals = grp["n_chars"].to_numpy()
+        cum = grp["sum(cnt)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        target = -(-pct_num * n // pct_den)          # ceil(num·n/den), exact
+        thresholds[lang] = int(vals[np.searchsorted(cum, target, side="left")])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        nch = batch.column("n_chars").to_numpy()
+        thr = np.fromiter((thresholds.get(lang, np.iinfo(np.int64).max)
+                           for lang in langs), dtype=np.int64, count=len(langs))
+        out = batch.append_column("p90", pa.array(thr))
+        return out.filter(pa.array(nch > thr))
+
+    return _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")
+
+
+LONG_TAIL_SQL = r"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+t AS (SELECT lang, MIN(n_chars) AS p90 FROM ranked WHERE rn * 10 >= n * 9 GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, t.p90
+FROM documents d JOIN t USING (lang)
+WHERE d.n_chars > t.p90
+ORDER BY d.doc_id
+"""
+
+
 def lang_quality_documents(sf_dir: str):
     """Language-ID + deterministic integer text metrics per document.
 

@@ -335,3 +335,27 @@ def test_stratified_sample_balances_strata(ray_session):
     total = stratified_sample_documents(SF_DIR, cap=10**6).count()
     import pyarrow.parquet as pq
     assert total == pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+
+def test_long_tail_threshold_matches_numpy(ray_session):
+    """The rational-rank threshold must equal numpy's exact discrete p90,
+    and every emitted doc must strictly exceed its language's threshold."""
+    import pyarrow.parquet as pq
+
+    from engine.queries import long_tail_documents
+
+    rows = long_tail_documents(SF_DIR).take_all()
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"]).to_pylist()
+    by_lang: dict[str, list[int]] = {}
+    for r in tbl:
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    expect_thr = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        expect_thr[lang] = vals[-(-9 * n // 10) - 1]   # ceil(0.9n), 1-based
+    expect = sorted(r["doc_id"] for r in tbl
+                    if r["n_chars"] > expect_thr[r["lang"]])
+    assert sorted(r["doc_id"] for r in rows) == expect
+    assert all(r["n_chars"] > r["p90"] == expect_thr[r["lang"]] for r in rows)
