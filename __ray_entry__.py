@@ -891,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": q.knn_cosine_top10,
         "sessionize_events": q.sessionize_events,
         "top_events_per_user": q.top_events_per_user,
+        "large_gap_events": q.large_gap_events,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "union_region_nation_names": q.union_region_nation_names,
@@ -951,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": q.KNN_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
+        "large_gap_events": q.LARGE_GAP_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "union_region_nation_names": q.UNION_SQL,

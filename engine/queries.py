@@ -831,6 +831,75 @@ ORDER BY user_id
 """
 
 
+def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
+    """Window NAVIGATION (LAG): events preceded by a suspicious inactivity
+    gap (> gap_seconds) from the same user's previous event — the
+    lag/lead family alongside the rank (top_events_per_user), session
+    (sessionize_events) and hopping-window operators.
+
+    Same salted-partition shape as the rest of the window family: one
+    shuffle on user hash, one vectorized lexsort + shifted-difference pass
+    per partition, O(partitions) dispatch.  Gap is exact integer
+    microseconds (epoch_us difference in the oracle).
+    """
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    thr_us = np.int64(gap_seconds) * np.int64(1_000_000)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def gaps_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "prev_ts": pa.array([], pa.timestamp("us")),
+            "gap_us": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        ts = group.column("ts").to_numpy().astype("datetime64[us]")
+        tsv = ts.view(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid, tsv = uid[order], eid[order], tsv[order]
+        same = uid[1:] == uid[:-1]
+        gap = tsv[1:] - tsv[:-1]
+        keep = same & (gap > thr_us)
+        idx = np.flatnonzero(keep) + 1
+        return pa.table({
+            "user_id": pa.array(uid[idx]),
+            "event_id": pa.array(eid[idx]),
+            "ts": pa.array(tsv[idx].view("datetime64[us]")),
+            "prev_ts": pa.array(tsv[idx - 1].view("datetime64[us]")),
+            "gap_us": pa.array(gap[idx - 1]),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(gaps_partition, batch_format="pyarrow") \
+        .sort(["user_id", "event_id"])
+
+
+LARGE_GAP_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, event_id, ts, prev_ts,
+       epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+FROM w
+WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+ORDER BY user_id, event_id
+"""
+
+
 def top_events_per_user(sf_dir: str, k: int = 3):
     """Windowed rank (ROW_NUMBER PARTITION BY user ORDER BY value DESC,
     event_id) keeping the top-k rows per user — the windowed-aggregate

@@ -359,3 +359,25 @@ def test_long_tail_threshold_matches_numpy(ray_session):
                     if r["n_chars"] > expect_thr[r["lang"]])
     assert sorted(r["doc_id"] for r in rows) == expect
     assert all(r["n_chars"] > r["p90"] == expect_thr[r["lang"]] for r in rows)
+
+
+def test_large_gap_events_matches_pandas(ray_session):
+    """LAG semantics vs a pandas shift ground truth (ties broken by
+    event_id, first event per user never emitted)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.queries import large_gap_events
+
+    rows = large_gap_events(SF_DIR, gap_seconds=3600).take_all()
+    df = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    prev = us.groupby(df["user_id"]).shift()
+    gap = us - prev                                  # integer microseconds
+    want = df[gap > 3600 * 1_000_000]
+    assert sorted(r["event_id"] for r in rows) == sorted(want["event_id"])
+    got = {r["event_id"]: r["gap_us"] for r in rows}
+    for eid, g in zip(want["event_id"], gap[gap > 3600 * 1_000_000]):
+        assert got[eid] == int(g)
