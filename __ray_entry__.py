@@ -576,6 +576,58 @@ FROM d ORDER BY aud_id
 """
 
 
+AUDIO_CHUNKS_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+base AS (
+  SELECT i, i % 7 AS c,
+    CASE i % 7 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' WHEN 2 THEN 'opus'
+               WHEN 3 THEN 'flac' WHEN 4 THEN 'pcm16' WHEN 5 THEN 'mp3'
+               ELSE 'pcm16' END AS codec,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    200 + (i * 37) % 800 AS dur
+  FROM ids
+), w AS (
+  SELECT i, codec, (sr * dur) // 1000 AS n,
+    (sr * 100) // 1000 AS win, (sr * 60) // 1000 AS hop,
+    (sr * 20) // 1000 AS mins,
+    c NOT IN (5, 6) AS ok
+  FROM base
+)
+SELECT w.i AS aud_id, w.codec,
+  CAST(r.range AS BIGINT) AS chunk_idx,
+  CAST(r.range * w.hop AS BIGINT) AS start_sample,
+  CAST(LEAST(w.win, w.n - r.range * w.hop) AS BIGINT) AS n_samples
+FROM w JOIN range(64) r
+  ON r.range < CASE WHEN w.ok AND w.n >= w.mins
+                    THEN (w.n - w.mins) // w.hop + 1 ELSE 0 END
+ORDER BY aud_id, chunk_idx
+"""
+
+
+def _audio_chunks(sf_dir: str):
+    """Hash-oracled REAL audio windowing: decode each synth clip and expand
+    it into 100 ms windows every 60 ms (trailing partial kept at >=20 ms) —
+    1-to-many row expansion over binary payloads in an actor pool.  The
+    window plan is integer arithmetic on (sr, decoded length), recomputed
+    closed-form by the oracle; undecodable rows (mp3 / truncated WAV)
+    contribute no windows on either side.  chunk_rms is real decoded PCM
+    (float) and stays out of the oracle columns."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_audio_batch
+    from engine.ops.multimodal import AudioChunkStage
+
+    ds = ray.data.range(AUDIO_FEATURES_N).map_batches(
+        synth_audio_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioChunkStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8))
+    return out.map_batches(
+        lambda t: t.select(["aud_id", "codec", "chunk_idx", "start_sample",
+                            "n_samples"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort(["aud_id", "chunk_idx"])
+
+
 def _audio_features(sf_dir: str):
     """Hash-oracled REAL audio decode (round-2 VERDICT item 1a): the
     closed-form corpus (engine/data/audio_synth.py) puts its square-wave
@@ -904,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_split": q.drift_events_split,
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
+        "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
         "dedup_near_documents": _dedup_near_documents,
@@ -965,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_split": q.DRIFT_EVENTS_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
+        "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
         "dedup_near_documents": DEDUP_NEAR_SQL,

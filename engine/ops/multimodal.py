@@ -47,6 +47,83 @@ class AudioFeatureStage:
             .append_column("decode_ok", pa.array(ok))
 
 
+class AudioChunkStage:
+    """bytes+codec → per-window rows (chunk_idx, start_sample, n_samples,
+    rms) — REAL decode + row EXPANSION (one clip → many chunks), the ASR
+    training-data windowing step.
+
+    Window plan: ``win_ms`` windows every ``hop_ms``; the trailing partial
+    window is kept iff it holds at least ``min_ms`` of audio.  Sample
+    counts are pure integer arithmetic on (sr, decoded length), so the
+    plan is reproducible closed-form in a SQL oracle; rms is computed from
+    the real decoded PCM (float — tested, not oracled).  Undecodable rows
+    are dropped (they carry no windows), matching SQL's ok-filter.
+
+    Scale shape: stateless per-row, actor-pool friendly; expansion factor
+    is dur/hop, so batch_size should be sized for the OUTPUT row count
+    (bytes never leave the stage — only scalar window metadata is
+    emitted).
+    """
+
+    def __init__(self, bytes_col: str = "bytes", codec_col: str = "codec",
+                 sr_col: str | None = None, win_ms: int = 100, hop_ms: int = 60,
+                 min_ms: int = 20) -> None:
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+        self.sr_col = sr_col     # None: trust the decoded container rate
+        self.win_ms = win_ms
+        self.hop_ms = hop_ms
+        self.min_ms = min_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col)
+        codecs = batch.column(self.codec_col).to_pylist()
+        srs = (batch.column(self.sr_col).to_numpy(zero_copy_only=False)
+               if self.sr_col else None)
+        keep_cols = [c for c in batch.column_names if c != self.bytes_col]
+        out_idx: list[int] = []
+        chunk_idx: list[np.ndarray] = []
+        starts: list[np.ndarray] = []
+        sizes: list[np.ndarray] = []
+        rms: list[np.ndarray] = []
+        for i in range(batch.num_rows):
+            try:
+                sig, dec_sr = decode_any(blobs[i].as_py(), codecs[i])
+            except (AudioDecodeError, NotImplementedError):
+                continue
+            sr = int(srs[i]) if srs is not None else int(dec_sr)
+            win = sr * self.win_ms // 1000
+            hop = sr * self.hop_ms // 1000
+            mins = sr * self.min_ms // 1000
+            n = sig.size
+            if n < mins or win == 0 or hop == 0:
+                continue
+            n_chunks = (n - mins) // hop + 1
+            st = np.arange(n_chunks, dtype=np.int64) * hop
+            sz = np.minimum(win, n - st)
+            f = sig.astype(np.float64)
+            cum = np.concatenate([[0.0], np.cumsum(f * f)])
+            r = np.sqrt((cum[st + sz] - cum[st]) / sz)
+            out_idx.append(i)
+            chunk_idx.append(np.arange(n_chunks, dtype=np.int64))
+            starts.append(st)
+            sizes.append(sz)
+            rms.append(r)
+        if not out_idx:
+            base = batch.select(keep_cols).slice(0, 0)
+            return base.append_column("chunk_idx", pa.array([], pa.int64())) \
+                .append_column("start_sample", pa.array([], pa.int64())) \
+                .append_column("n_samples", pa.array([], pa.int64())) \
+                .append_column("chunk_rms", pa.array([], pa.float64()))
+        reps = np.array([c.size for c in chunk_idx], dtype=np.int64)
+        take = np.repeat(np.array(out_idx, dtype=np.int64), reps)
+        base = batch.select(keep_cols).take(pa.array(take))
+        return base.append_column("chunk_idx", pa.array(np.concatenate(chunk_idx))) \
+            .append_column("start_sample", pa.array(np.concatenate(starts))) \
+            .append_column("n_samples", pa.array(np.concatenate(sizes))) \
+            .append_column("chunk_rms", pa.array(np.concatenate(rms)))
+
+
 class ImageDecodeStage:
     """Binary image column → (width, height, mode, img_format, mean_lum,
     decode_ok) metadata.  REAL decode for PPM/PGM, 24-bit BMP and type-2 TGA

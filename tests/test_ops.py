@@ -466,3 +466,31 @@ def test_term_doc_counts_vectorized_counts():
     # \x0b (vertical tab) is NOT whitespace in the RE2/ASCII class: "x" and
     # "\x0by" stay distinct tokens, None text contributes nothing.
     assert got == {(7, "x"): 2, (7, "y"): 1, (7, "\x0by"): 1}
+
+
+def test_audio_chunk_stage_windows_and_rms():
+    """Window plan (100/60/20 ms), trailing-partial rule, per-window rms on
+    a known constant signal, and undecodable rows contributing no chunks."""
+    from engine.audio import encode_wav
+    from engine.ops.multimodal import AudioChunkStage
+
+    sr = 8000
+    sig = np.full(sr // 2, 0.25, dtype=np.float32)       # 500 ms constant
+    batch = pa.table({
+        "aud_id": pa.array([1, 2], pa.int64()),
+        "bytes": pa.array([encode_wav(sig, sr), b"notawav"], pa.large_binary()),
+        "codec": pa.array(["pcm16", "pcm16"]),
+    })
+    out = AudioChunkStage()(batch)
+    assert out.column("aud_id").to_pylist() == [1] * out.num_rows
+    win, hop, mins = 800, 480, 160
+    n = sig.size
+    n_chunks = (n - mins) // hop + 1
+    assert out.num_rows == n_chunks
+    starts = out.column("start_sample").to_numpy()
+    sizes = out.column("n_samples").to_numpy()
+    assert list(starts) == [i * hop for i in range(n_chunks)]
+    assert list(sizes) == [min(win, n - s) for s in starts]
+    # constant signal: every window's rms equals the quantized amplitude
+    rms = out.column("chunk_rms").to_numpy()
+    assert np.allclose(rms, rms[0]) and abs(rms[0] - 0.25) < 1e-3
