@@ -347,7 +347,11 @@ def _near_dup_clusters(sf_dir: str):
     # bucket.  The chain alone is too brittle here: verification rejects
     # chain links between bucket members whose true Jaccard is under 0.9
     # (the blob's edge density is ~1/3), fragmenting the cluster.
-    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.5, shingle_width=1,
+    # min_est 0.7 = >5σ below the 0.9 target for k=64 signatures (no
+    # measurable true-pair loss) and prunes the sub-threshold halo BEFORE the
+    # exact verify — the verify stage, not LSH, dominates wall time on
+    # dup-dense corpora.
+    cand = minhash_lsh_pairs(docs, min_est_jaccard=0.7, shingle_width=1,
                              pair_mode="hybrid", cap=512)
     cand = cand.map_batches(lambda t: t.select(["a", "b"]),
                             batch_format="pyarrow", zero_copy_batch=True)

@@ -21,18 +21,6 @@ import pyarrow as pa
 
 log = logging.getLogger("engine.dedup")
 
-MERSENNE = np.uint64((1 << 61) - 1)
-_U32 = np.uint64(0xFFFFFFFF)
-
-
-def _fold32(h: np.ndarray) -> np.ndarray:
-    """Fold 64-bit hashes to 32 bits (xor-fold) so a*s below is EXACT in
-    uint64: with a,b < 2^32 and s < 2^32, a*s + b < 2^64 — no wraparound, so
-    (a*s + b) mod p is the genuine affine hash, not an ad-hoc mix
-    (round-1 ADVICE: the old 61-bit params overflowed uint64 silently)."""
-    return (h ^ (h >> np.uint64(32))) & _U32
-
-
 # Second siphash key for the 128-bit content hash (exactly 16 chars; the
 # first pass uses pandas' default key — two independent 64-bit functions).
 _HASH_KEY_2 = "2nd-graft-key-16"
@@ -106,25 +94,32 @@ def _batch_shingle_hashes(texts: list, width: int = 3) -> tuple[np.ndarray, np.n
     return flat, counts
 
 
-def _minhash_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    # a, b < 2^32 keeps a*s32 + b exact in uint64 (see _fold32).
+def _minhash_params(k: int, seed: int = 7) -> np.ndarray:
+    """Per-permutation 64-bit xor seeds for the mix64 signature family.
+
+    Family v2 (round-3 finding): the previous 2-universal affine family
+    ((a·s + b) mod 2^61-1) is NOT min-wise independent — a measured
+    true-Jaccard-0.9 pair showed signature agreement ~0.55, which silently
+    destroyed LSH candidate recall at tight est thresholds (the bias is
+    deterministic per pair, so no amount of bands recovers it).  Applying
+    the splitmix64 finalizer to (x ⊕ seed_i) behaves min-wise independent
+    in practice and costs ~6 vectorized uint64 ops per cell.
+    """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 32, k, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, 1 << 32, k, dtype=np.uint64)
-    return a, b
+    return rng.integers(0, 1 << 64, k, dtype=np.uint64)
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     """k-permutation minhash over a shingle-hash set (vectorized k x n)."""
     if shingles.size == 0:
-        return np.zeros(a.size, dtype=np.uint64)
-    s = _fold32(shingles.astype(np.uint64))
-    vals = (a[:, None] * s[None, :] + b[:, None]) % MERSENNE   # exact: all < 2^64
+        return np.zeros(seeds.size, dtype=np.uint64)
+    s = shingles.astype(np.uint64)
+    vals = _mix64(s[None, :] ^ seeds[:, None])
     return vals.min(axis=1)
 
 
 def minhash_signatures_batch(flat: np.ndarray, counts: np.ndarray,
-                             a: np.ndarray, b: np.ndarray,
+                             seeds: np.ndarray,
                              chunk_shingles: int = 1 << 16) -> np.ndarray:
     """Batch minhash via np.minimum.reduceat over doc-offset boundaries
     (the SimHashStage reduceat pattern — round-1 VERDICT item 1a).
@@ -134,11 +129,11 @@ def minhash_signatures_batch(flat: np.ndarray, counts: np.ndarray,
     Returns (n_docs, k) uint64.
     """
     n = counts.size
-    k = a.size
+    k = seeds.size
     out = np.empty((n, k), dtype=np.uint64)
     if n == 0:
         return out
-    s = _fold32(flat.astype(np.uint64))
+    s = flat.astype(np.uint64)
     ends = np.cumsum(counts)
     starts = ends - counts
     doc = 0
@@ -148,7 +143,7 @@ def minhash_signatures_batch(flat: np.ndarray, counts: np.ndarray,
             hi += 1
         hi = max(hi, doc + 1)                    # always take >= 1 doc
         seg = s[starts[doc]:ends[hi - 1]]
-        vals = (a[:, None] * seg[None, :] + b[:, None]) % MERSENNE
+        vals = _mix64(seg[None, :] ^ seeds[:, None])
         offs = (starts[doc:hi] - starts[doc]).astype(np.intp)
         out[doc:hi] = np.minimum.reduceat(vals, offs, axis=1).T
         doc = hi
@@ -171,12 +166,12 @@ class MinHashStage:
         self.width = shingle_width
         self.text_col = text_col
         self.id_col = id_col
-        self.a, self.b = _minhash_params(k)
+        self.seeds = _minhash_params(k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         flat, counts = _batch_shingle_hashes(texts, self.width)
-        sigs = minhash_signatures_batch(flat, counts, self.a, self.b)
+        sigs = minhash_signatures_batch(flat, counts, self.seeds)
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "sig": pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1).astype(np.int64)), self.k),

@@ -76,12 +76,12 @@ def test_minhash_batch_equals_per_doc(text, width):
                                   _shingle_hashes, minhash_signature,
                                   minhash_signatures_batch)
 
-    a, b = _minhash_params(16)
+    seeds = _minhash_params(16)
     texts = [text, "", text + " tail", "one two three four"]
     flat, counts = _batch_shingle_hashes(texts, width)
-    batch_sigs = minhash_signatures_batch(flat, counts, a, b, chunk_shingles=8)
+    batch_sigs = minhash_signatures_batch(flat, counts, seeds, chunk_shingles=8)
     for i, t in enumerate(texts):
-        ref = minhash_signature(_shingle_hashes(t or "", width), a, b)
+        ref = minhash_signature(_shingle_hashes(t or "", width), seeds)
         assert (batch_sigs[i] == ref).all(), (i, t)
 
 
