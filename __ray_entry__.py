@@ -251,23 +251,15 @@ def _duplicate_clusters(sf_dir: str):
     return connected_components(pairs).sort("doc_id")
 
 
-# Shared CTE chain for the two cluster oracles: exact token-Jaccard>=0.9
-# pairs, then connected components via 2 min-label contraction steps +
-# reach-enumeration recursion on the contracted quotient graph (exact for
-# any component diameter; both the naive reach CTE and a deep chained-CTE
-# min-label are pathological in DuckDB 1.0).
-_CC_CTES = r"""
-WITH RECURSIVE t AS MATERIALIZED (
-  SELECT doc_id, list_distinct(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
-  FROM documents
-),
-p AS MATERIALIZED (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM t a JOIN t b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.w, b.w)) > 0
-    AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-        / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9
-),
+def _cc_ctes(pairs_sql: str) -> str:
+    """Connected-components CTE chain over an arbitrary (a, b) pair query:
+    2 min-label contraction steps, then reach-enumeration recursion on the
+    contracted quotient graph — exact for any component diameter (both the
+    naive reach CTE and a deep chained-CTE min-label are pathological in
+    DuckDB 1.0; shallow MATERIALIZED CTEs keep the pair query evaluated
+    once)."""
+    return f"""
+WITH RECURSIVE p AS MATERIALIZED ({pairs_sql}),
 e AS MATERIALIZED (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
       UNION SELECT a, a FROM p UNION SELECT b AS a, b FROM p),
 l1 AS MATERIALIZED (SELECT e.a AS node, MIN(e.b) AS label FROM e GROUP BY e.a),
@@ -283,6 +275,21 @@ reach(node, r) AS (
   SELECT ec2.a, reach.r FROM ec2 JOIN reach ON reach.node = ec2.b
 )
 """
+
+
+_JACCARD_PAIRS_BODY = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS w
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.w, b.w)) > 0
+  AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.9
+"""
+
+_CC_CTES = _cc_ctes(_JACCARD_PAIRS_BODY)
 
 DUPLICATE_CLUSTERS_SQL = _CC_CTES + r"""
 SELECT l2.node AS doc_id, MIN(reach.r) AS cluster_id
@@ -392,6 +399,37 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) AS DOUBLE) >= 0.4
 ORDER BY a, b
+"""
+
+
+def _embedding_dup_clusters(sf_dir: str):
+    """Connected components over the exact cosine>=0.4 pair graph — the
+    cluster op is modality-agnostic: the same connected_components stage
+    that clusters token near-dups clusters embedding near-dups, and the
+    same _cc_ctes oracle builder verifies it (pair query swapped)."""
+    import ray.data
+
+    from engine.ops.cc import connected_components
+    from engine.ops.similarity import all_pairs_cosine
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    pairs = all_pairs_cosine(emb, threshold=0.4).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return connected_components(pairs).sort("doc_id")
+
+
+EMBEDDING_CLUSTERS_SQL = _cc_ctes("""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS DOUBLE) >= 0.4
+""") + """
+SELECT l2.node AS doc_id, MIN(reach.r) AS cluster_id
+FROM l2 JOIN reach ON reach.node = l2.label
+GROUP BY l2.node
+ORDER BY doc_id
 """
 
 
@@ -965,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_clusters": _duplicate_clusters,
         "dedup_near_documents": _dedup_near_documents,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
+        "embedding_dup_clusters": _embedding_dup_clusters,
         "image_dims": _image_dims,
         "video_dims": _video_dims,
         "rolling_fingerprint": _rolling_fingerprint,
@@ -1027,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
         "dedup_near_documents": DEDUP_NEAR_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,
+        "embedding_dup_clusters": EMBEDDING_CLUSTERS_SQL,
         "image_dims": IMAGE_DIMS_SQL,
         "video_dims": VIDEO_DIMS_SQL,
         "rolling_fingerprint": ROLLING_FP_SQL,
