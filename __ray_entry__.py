@@ -336,7 +336,7 @@ def _near_dup_clusters(sf_dir: str):
     """The 100 TB-shaped cluster pipeline: minhash-LSH candidates → exact
     Jaccard>=0.9 verify → connected components.  Rows-only (LSH recall < 1
     by construction); recall vs the exact duplicate_clusters pair set is
-    gated in tests/test_recall.py."""
+    gated in tests/test_cc.py::test_near_dup_cluster_pair_recall."""
     import ray.data
 
     from engine.ops.cc import connected_components

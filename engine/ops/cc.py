@@ -158,8 +158,10 @@ def keep_canonical(docs_ds, clusters_ds, *, id_col: str = "doc_id",
     drop_ref = ray.put(np.unique(drop_ids))
 
     def keep(batch: pa.Table) -> pa.Table:
+        from engine.stages import _broadcast_from_ref
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, ray.get(drop_ref))
+        mask = ~np.isin(ids, _broadcast_from_ref(drop_ref))  # fetch-once
         return batch.filter(pa.array(mask))
 
     return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

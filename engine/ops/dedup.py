@@ -53,9 +53,23 @@ def content_hash_128(texts) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def _tokens(text: str) -> list[str]:
+    """Tokenize with the RE2/DuckDB-aligned ASCII whitespace class.
+
+    str.split() is Unicode-aware (splits on \\x0b, NBSP, U+2000-200A, ...)
+    and silently disagrees with the SQL-side ``[^\\t\\n\\f\\r ]+`` tokenizer
+    used by jaccard_all_pairs and the CC oracles — the whole near-dup
+    stack (shingles, minhash, verify) must measure the SAME token sets as
+    its exact oracled companions (round-3 review finding 2).
+    """
+    from engine.ops.text import TOKEN_RE
+
+    return TOKEN_RE.findall(text)
+
+
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
     """Word-shingle 64-bit hashes for one document."""
-    words = text.split()
+    words = _tokens(text)
     if len(words) < width:
         grams = [" ".join(words)] if words else [""]
     else:
@@ -77,7 +91,7 @@ def _batch_shingle_hashes(texts: list, width: int = 3) -> tuple[np.ndarray, np.n
     grams: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        words = (t or "").split()
+        words = _tokens(t or "")
         if len(words) < width:
             g = [" ".join(words)] if words else [""]
         else:
@@ -363,18 +377,28 @@ def partition_candidate_pairs(group: pa.Table, *, id_col: str = "doc_id",
     order = np.lexsort((ids, key, band))
     band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
 
+    # Chain edges exist to GUARANTEE bucket connectivity: they are exempt
+    # from the est prefilter (n-1 per bucket, cheap), otherwise a member
+    # whose only links are sub-threshold chain edges would be silently
+    # orphaned — the exact fragmentation the chain is there to prevent
+    # (round-3 review finding 3).  Downstream exact verification still
+    # applies to them.
     if pair_mode == "chain":
         ai, bi = chained_run_pairs((band, key))
+        chain = np.ones(ai.size, dtype=bool)
     elif pair_mode == "hybrid":
         ai1, bi1 = capped_run_pairs((band, key), cap, "minhash")
         ai2, bi2 = chained_run_pairs((band, key))
         ai, bi = np.concatenate([ai1, ai2]), np.concatenate([bi1, bi2])
+        chain = np.concatenate([np.zeros(ai1.size, dtype=bool),
+                                np.ones(ai2.size, dtype=bool)])
     else:
         ai, bi = capped_run_pairs((band, key), cap, "minhash")
+        chain = np.zeros(ai.size, dtype=bool)
     if ai.size == 0:
         return empty
     est = (sigs[ai] == sigs[bi]).mean(axis=1)
-    keep = (est >= min_est_jaccard) & (ids[ai] != ids[bi])
+    keep = ((est >= min_est_jaccard) | chain) & (ids[ai] != ids[bi])
     return pa.table({
         "a": pa.array(ids[ai][keep]),
         "b": pa.array(ids[bi][keep]),

@@ -94,7 +94,10 @@ class AudioChunkStage:
             sr = int(srs[i]) if srs is not None else int(dec_sr)
             win = sr * self.win_ms // 1000
             hop = sr * self.hop_ms // 1000
-            mins = sr * self.min_ms // 1000
+            # A window must hold >= 1 sample even with min_ms=0, else the
+            # last start can land exactly at n and emit a 0-sample chunk
+            # with 0/0 rms (round-3 review finding 5).
+            mins = max(1, sr * self.min_ms // 1000)
             n = sig.size
             if n < mins or win == 0 or hop == 0:
                 continue

@@ -302,9 +302,11 @@ def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
         df_ref = ray.put(df_map)
 
         def attach(batch: pa.Table) -> pa.Table:
+            from engine.stages import _broadcast_from_ref
+
             if batch.num_rows == 0:
                 return batch.append_column("df", pa.array([], pa.int64()))
-            lookup = ray.get(df_ref)
+            lookup = _broadcast_from_ref(df_ref)   # per-worker fetch-once
             vals = lookup.reindex(batch.column("term").to_pylist()).to_numpy()
             return batch.append_column("df", pa.array(vals.astype(np.int64)))
 
@@ -330,10 +332,15 @@ def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         tf = group.column("tf").to_numpy(zero_copy_only=False)
         dfv = group.column("df").to_numpy(zero_copy_only=False)
-        terms = np.asarray(group.column("term").to_pylist(), dtype="U")
-        # numpy '<U' sorts by code point == UTF-8 byte order == DuckDB's
-        # binary collation, so the term tie-break matches the oracle.
-        order = np.lexsort((terms, dfv, -tf, ids))
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        # Tie-break through integer codes of the partition's sorted unique
+        # terms: Python str comparison is code-point order == UTF-8 byte
+        # order == DuckDB's binary collation.  (A '<U' fixed-width array
+        # here would silently STRIP trailing NUL bytes — numpy's U dtype
+        # cannot represent them — corrupting both the emitted term and the
+        # sort; round-3 review finding 1.)
+        uniq, codes = np.unique(terms, return_inverse=True)
+        order = np.lexsort((codes, dfv, -tf, ids))
         ids, tf, dfv, terms = ids[order], tf[order], dfv[order], terms[order]
         new_doc = np.empty(n, dtype=bool)
         new_doc[0] = True
@@ -344,7 +351,7 @@ def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
         keep = rank <= k
         return pa.table({
             id_col: pa.array(ids[keep]),
-            "term": pa.array(terms[keep].astype(object), pa.string()),
+            "term": pa.array(terms[keep], pa.string()),
             "tf": pa.array(tf[keep]),
             "df": pa.array(dfv[keep]),
             "rank": pa.array(rank[keep]),

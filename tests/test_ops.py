@@ -494,3 +494,64 @@ def test_audio_chunk_stage_windows_and_rms():
     # constant signal: every window's rms equals the quantized amplitude
     rms = out.column("chunk_rms").to_numpy()
     assert np.allclose(rms, rms[0]) and abs(rms[0] - 0.25) < 1e-3
+
+
+def test_top_terms_preserves_nul_byte_terms(ray_session):
+    """Round-3 review finding 1: a trailing-NUL token must survive the
+    per-partition rank (numpy '<U' arrays silently strip trailing NULs)."""
+    import ray.data
+
+    from engine.ops.text import top_terms_per_doc
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["abc\x00 abc\x00 zzz"])}))
+    rows = sorted(top_terms_per_doc(docs, k=2).take_all(),
+                  key=lambda r: r["rank"])
+    assert [r["term"] for r in rows] == ["abc\x00", "zzz"]
+    assert rows[0]["tf"] == 2
+
+
+def test_hybrid_chain_edges_bypass_est_filter():
+    """Round-3 review finding 3: chain edges guarantee connectivity, so the
+    est prefilter must not drop them (clique pairs stay filtered)."""
+    from engine.ops.dedup import partition_candidate_pairs
+
+    k = 4
+    # Three docs in one bucket; doc 3's signature disagrees entirely
+    # (est 0.0 against both others), so every clique pair touching it is
+    # filtered at min_est=0.5 — only its chain link may keep it connected.
+    sigs = [[1, 2, 3, 4], [1, 2, 3, 4], [9, 9, 9, 9]]
+    group = pa.table({
+        "band": pa.array([0, 0, 0], pa.int64()),
+        "band_key": pa.array([7, 7, 7], pa.int64()),
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.array(sigs, dtype=np.int64).reshape(-1)), k),
+    })
+    clique = partition_candidate_pairs(group, min_est_jaccard=0.5,
+                                       pair_mode="clique")
+    hybrid = partition_candidate_pairs(group, min_est_jaccard=0.5,
+                                       pair_mode="hybrid")
+    cpairs = set(zip(clique.column("a").to_pylist(), clique.column("b").to_pylist()))
+    hpairs = set(zip(hybrid.column("a").to_pylist(), hybrid.column("b").to_pylist()))
+    assert cpairs == {(1, 2)}                       # doc 3 orphaned
+    assert (2, 3) in hpairs and (1, 2) in hpairs    # chain keeps doc 3
+
+
+def test_audio_chunk_stage_min_ms_zero_no_empty_chunk():
+    """Round-3 review finding 5: min_ms=0 must not emit a 0-sample chunk."""
+    from engine.audio import encode_wav
+    from engine.ops.multimodal import AudioChunkStage
+
+    sr = 8000
+    sig = np.full(960, 0.5, dtype=np.float32)   # 2 hops exactly (hop=480)
+    batch = pa.table({
+        "aud_id": pa.array([1], pa.int64()),
+        "bytes": pa.array([encode_wav(sig, sr)], pa.large_binary()),
+        "codec": pa.array(["pcm16"]),
+    })
+    out = AudioChunkStage(min_ms=0)(batch)
+    sizes = out.column("n_samples").to_numpy()
+    assert (sizes > 0).all()
+    assert not np.isnan(out.column("chunk_rms").to_numpy()).any()

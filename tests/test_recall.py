@@ -18,7 +18,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _word_shingles(text: str, width: int = 3) -> frozenset:
-    words = (text or "").split()
+    from engine.ops.text import TOKEN_RE
+
+    words = TOKEN_RE.findall(text or "")   # same ASCII class as the engine
     if len(words) < width:
         return frozenset([" ".join(words)]) if words else frozenset([""])
     return frozenset(" ".join(words[i:i + width]) for i in range(len(words) - width + 1))
