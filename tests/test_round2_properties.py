@@ -124,3 +124,40 @@ def test_broadcast_map_equals_dict(mapping, queries):
         assert found[i] == (k in mapping)
         if found[i]:
             assert got_vals[i] == mapping[k]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=120),
+                          st.integers(min_value=0, max_value=120)),
+                min_size=0, max_size=150))
+def test_pointer_jumping_matches_union_find(edges):
+    """minlabel_pointer_jumping == textbook union-find on arbitrary graphs
+    (self-loops, duplicates, disconnected nodes, long chains)."""
+    import numpy as np
+
+    from engine.ops.cc import minlabel_pointer_jumping
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    nodes, labels = minlabel_pointer_jumping(a, b)
+    got = dict(zip(nodes.tolist(), labels.tolist()))
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for p in pairs for n in p}
+    assert got == want
