@@ -974,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats_orderpriority": q.grouped_stats_orderpriority,
         "dedup_exact_documents": q.dedup_exact_documents,
         "distinct_users_events": q.distinct_users_events,
+        "distinct_users_by_type": q.distinct_users_by_type,
         "orphan_orders": q.orphan_orders,
         "orders_per_segment": q.orders_per_segment,
         "top10_orders": q.top10_orders,
@@ -1022,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": _knn_ivf_top10,
         "embedding_near_dup": _embedding_near_dup,
         "hll_distinct_users": _hll_distinct_users,
+        "hll_users_by_type": q.hll_users_by_type,
         "tdigest_quantity": _tdigest_quantity,
         "drift_clips": _drift_clips,
         "codec_duration_quantiles": _codec_duration_quantiles,
@@ -1037,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_stats_orderpriority": q.GROUPED_ORDERS_SQL,
         "dedup_exact_documents": q.DEDUP_EXACT_SQL,
         "distinct_users_events": q.DISTINCT_USERS_SQL,
+        "distinct_users_by_type": q.DISTINCT_BY_TYPE_SQL,
         "orphan_orders": q.ORPHAN_ORDERS_SQL,
         "orders_per_segment": q.ORDERS_PER_SEGMENT_SQL,
         "top10_orders": q.TOP10_ORDERS_SQL,

@@ -266,6 +266,83 @@ def distinct_users_events(sf_dir: str):
 DISTINCT_USERS_SQL = "SELECT COUNT(DISTINCT user_id) AS n_users FROM events"
 
 
+def distinct_users_by_type(sf_dir: str):
+    """EXACT grouped COUNT DISTINCT — the per-group companion of
+    distinct_users_events.  Per-batch (type, user) dedup partials bound
+    the first shuffle to distinct pairs per batch; the 2-key groupby
+    dedups globally; the per-type count is a second tiny exchange.  The
+    approximate per-group path is hll_users_by_type (one HLL sketch per
+    group, merged per type), accuracy-gated against this query in tests.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "user_id": batch.column("user_id").to_numpy(),
+        }).drop_duplicates()
+        return pa.table({"event_type": pa.array(df["event_type"], pa.string()),
+                         "user_id": pa.array(df["user_id"].to_numpy())})
+
+    pairs = ds.map_batches(dedup_partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["event_type", "user_id"]).count()
+    return pairs.map_batches(lambda t: t.select(["event_type"]),
+                             batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("event_type").count() \
+        .map_batches(lambda t: t.rename_columns(["event_type", "n_users"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("event_type")
+
+
+DISTINCT_BY_TYPE_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def hll_users_by_type(sf_dir: str):
+    """Approximate per-group distinct users: one HLL per (batch, type)
+    partial, merged per type with a bounded-cardinality groupby (event
+    types are a handful — per-key map_groups dispatch is fine HERE,
+    unlike user-keyed groupbys).  Scale shape: the shuffle carries only
+    16 KB register blobs per (batch, type), never user ids."""
+    import json as _json
+
+    from engine.checks.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        types = batch.column("event_type").to_pandas()
+        users = batch.column("user_id").to_numpy()
+        out_t, out_s = [], []
+        for t, idx in pd.Series(np.arange(len(types))).groupby(types).groups.items():
+            h = HyperLogLog()
+            h.update(users[np.asarray(idx)])
+            out_t.append(t)
+            out_s.append(_json.dumps(h.state()))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "state": pa.array(out_s, pa.large_string())})
+
+    def merge_type(group: pa.Table) -> pa.Table:
+        merged = HyperLogLog()
+        for s in group.column("state").to_pylist():
+            merged.merge(HyperLogLog.from_state(_json.loads(s)))
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_users_est": pa.array([int(round(merged.estimate()))], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("event_type").map_groups(merge_type, batch_format="pyarrow") \
+        .sort("event_type")
+
+
 # -------------------------------------------------------------- referential
 
 

@@ -381,3 +381,17 @@ def test_large_gap_events_matches_pandas(ray_session):
     got = {r["event_id"]: r["gap_us"] for r in rows}
     for eid, g in zip(want["event_id"], gap[gap > 3600 * 1_000_000]):
         assert got[eid] == int(g)
+
+
+def test_hll_by_type_tracks_exact(ray_session):
+    """Per-group HLL estimates must be within 2% of the exact grouped
+    COUNT DISTINCT (p=14 standard error is ~0.8%)."""
+    from engine.queries import distinct_users_by_type, hll_users_by_type
+
+    exact = {r["event_type"]: r["n_users"]
+             for r in distinct_users_by_type(SF_DIR).take_all()}
+    est = {r["event_type"]: r["n_users_est"]
+           for r in hll_users_by_type(SF_DIR).take_all()}
+    assert set(exact) == set(est) and len(exact) >= 3
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(2, 0.02 * n), (t, n, est[t])
