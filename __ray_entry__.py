@@ -984,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
         "events_daily_by_type": q.events_daily_by_type,
         "knn_cosine_top10": q.knn_cosine_top10,
+        "knn_multi_top5": q.knn_multi_top5,
         "sessionize_events": q.sessionize_events,
         "top_events_per_user": q.top_events_per_user,
         "large_gap_events": q.large_gap_events,
@@ -1049,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "knn_cosine_top10": q.KNN_SQL,
+        "knn_multi_top5": q.KNN_MULTI_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,

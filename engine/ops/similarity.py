@@ -350,3 +350,66 @@ def near_dup_cosine_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id"
         .groupby("part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
+
+
+def knn_multi_query(ds, query_ids, query_mat, k: int = 5, *,
+                    id_col: str = "vec_id", col: str = "embedding",
+                    tie_round_decimals: int = 5, exclude_self: bool = True):
+    """Batch kNN: top-k corpus neighbours for EACH of m query vectors in one
+    corpus scan — the realistic index-lookup shape (per-batch matmul
+    against a broadcast (m, dim) query matrix instead of m separate scans).
+
+    Per batch: one (n, m) sims matrix, then the same deterministic rounded
+    tie cut as knn_brute_force per query column (_local_cut — (ROUND(sim,d)
+    DESC, id ASC), the oracle's ordering).  The global merge is a per-query
+    rank over the #batches × k candidate pool; query count m is bounded by
+    construction, so a per-key map_groups dispatch is safe here.
+
+    Returns (query_id, id_col, sim, rank) with rank 1..k per query.
+    """
+    import ray
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    Q = np.asarray(query_mat, dtype=np.float32)
+    Qn = Q / (np.linalg.norm(Q, axis=1, keepdims=True) + 1e-30)
+    q_ref = ray.put((qids, Qn))
+
+    def local(batch: pa.Table) -> pa.Table:
+        from engine.stages import _broadcast_from_ref
+
+        ids_q, Qm = _broadcast_from_ref(q_ref)
+        mat = _embedding_matrix(batch, col)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if mat.shape[0] == 0:
+            return empty
+        norms = np.linalg.norm(mat, axis=1) + 1e-30
+        sims = (mat @ Qm.T) / norms[:, None]          # (n, m)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        parts = []
+        for j in range(ids_q.size):                   # m is small by contract
+            cand = (np.flatnonzero(ids != ids_q[j]) if exclude_self
+                    else np.arange(ids.size))
+            if cand.size == 0:
+                continue
+            cut = _local_cut(batch, sims[cand, j], cand, k, id_col,
+                             tie_round_decimals)
+            parts.append(cut.add_column(
+                0, "query_id",
+                pa.array(np.full(cut.num_rows, ids_q[j], dtype=np.int64))))
+        return pa.concat_tables(parts) if parts else empty
+
+    def global_cut(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "query_id": group.column("query_id").take(pa.array(order)),
+            id_col: group.column(id_col).take(pa.array(order)),
+            "sim": group.column("sim").take(pa.array(order)),
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+        })
+
+    return ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("query_id").map_groups(global_cut, batch_format="pyarrow")

@@ -703,6 +703,35 @@ def knn_cosine_top10(sf_dir: str):
     return candidates.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
 
 
+def knn_multi_top5(sf_dir: str, m: int = 8, k: int = 5):
+    """Batch kNN for the m lowest-id query vectors in ONE corpus scan —
+    see engine.ops.similarity.knn_multi_query.  Self-matches excluded;
+    ordering is the oracle's (ROUND(sim,5) DESC, vec_id) per query."""
+    from engine.ops.similarity import knn_multi_query
+
+    qrows = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .sort("vec_id").limit(m).take_all()
+    qids = [r["vec_id"] for r in qrows]
+    qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_multi_query(ds, qids, qmat, k=k).sort(["query_id", "rank"])
+
+
+KNN_MULTI_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 5) AS sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rn FROM s)
+SELECT query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5 ORDER BY query_id, rank
+"""
+
+
 KNN_SQL = """
 SELECT vec_id,
        ROUND(CAST(list_cosine_similarity(embedding,

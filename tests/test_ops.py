@@ -555,3 +555,36 @@ def test_audio_chunk_stage_min_ms_zero_no_empty_chunk():
     sizes = out.column("n_samples").to_numpy()
     assert (sizes > 0).all()
     assert not np.isnan(out.column("chunk_rms").to_numpy()).any()
+
+
+def test_knn_multi_query_matches_single_query(ray_session):
+    """One-scan batch kNN must equal m separate knn_brute_force scans
+    (same rounded-tie cut convention, self-match excluded)."""
+    import ray.data
+
+    from engine.ops.similarity import knn_brute_force, knn_multi_query
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1)), 16),
+    })).repartition(4)
+    qids = [3, 77]
+    multi = knn_multi_query(ds, qids, emb[qids], k=4).take_all()
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 5))
+           for r in multi}
+    for qid in qids:
+        mask = np.arange(200) != qid
+        sub = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(200)[mask]),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb[mask].reshape(-1)), 16),
+        }))
+        single = knn_brute_force(sub, emb[qid], k=4,
+                                 keep_all_candidates=True,
+                                 tie_round_decimals=5) \
+            .sort(["sim", "vec_id"], descending=[True, False]).limit(4).take_all()
+        for rank, r in enumerate(single, 1):
+            assert got[(qid, rank)] == (r["vec_id"], round(r["sim"], 5))
