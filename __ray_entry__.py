@@ -979,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_segment": q.orders_per_segment,
         "top10_orders": q.top10_orders,
         "repair_extract_events": q.repair_extract_events,
+        "jsonl_repair_events": q.jsonl_repair_events,
         "token_stats_documents": q.token_stats_documents,
         "top_terms_per_document": q.top_terms_per_document,
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
@@ -1045,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_per_segment": q.ORDERS_PER_SEGMENT_SQL,
         "top10_orders": q.TOP10_ORDERS_SQL,
         "repair_extract_events": q.REPAIR_EXTRACT_SQL,
+        "jsonl_repair_events": q.REPAIR_EXTRACT_SQL,
         "token_stats_documents": q.TOKEN_STATS_SQL,
         "top_terms_per_document": q.TOP_TERMS_SQL,
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,

@@ -557,6 +557,75 @@ FROM events ORDER BY event_id
 """
 
 
+_JSONL_CACHE_VERSION = "v1"
+
+
+def _events_jsonl_cache(sf_dir: str) -> str:
+    """Derive a JSONL TEXT form of the events table (one JSON object per
+    line) with deterministic malformations planted by event_id:
+    id%7==3 → closing brace dropped, id%7==5 → trailing comma inserted.
+    Both are exactly recoverable by the repair kernel, so the parquet
+    table remains the ground truth.  Built once per (sf, version) under
+    /tmp, atomic rename (same recipe as the clips cache)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/graft_events_jsonl_{_JSONL_CACHE_VERSION}_{tag}.jsonl"
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for eid, props in zip(tbl.column("event_id").to_pylist(),
+                              tbl.column("props").to_pylist()):
+            line = json.dumps({"event_id": eid, "props": props},
+                              separators=(",", ":"))
+            if eid % 7 == 3:
+                line = line[:-1]                      # drop the closing brace
+            elif eid % 7 == 5:
+                line = line[:-1] + ",}"               # trailing comma
+            f.write(line + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def jsonl_repair_events(sf_dir: str):
+    """TEXT SOURCE + repair: the events table serialized as JSONL (with
+    planted malformations — see _events_jsonl_cache), read back with
+    ray.data.read_text, tolerant-parsed per line, and the nested props
+    JSON parsed again for $.k — the reference's file-input surface
+    (json.load over fds) re-expressed as a Dataset source.  The oracle
+    reads the PARQUET ground truth, so a repair that failed to recover
+    any line exactly would hash-mismatch."""
+    import ray.data
+
+    from engine.repair.api import loads as tolerant_loads
+
+    path = _events_jsonl_cache(sf_dir)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        eids, ks = [], []
+        for line in batch.column("text").to_pylist():
+            try:
+                obj = json.loads(line)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                obj = tolerant_loads(line, skip_json_loads=True)
+            eids.append(int(obj["event_id"]))
+            props = obj.get("props")
+            try:
+                v = json.loads(props)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                v = tolerant_loads(props, skip_json_loads=True)
+            ks.append(int(v["k"]) if isinstance(v, dict) and "k" in v else None)
+        return pa.table({"event_id": pa.array(eids, pa.int64()),
+                         "k": pa.array(ks, pa.int64())})
+
+    return ray.data.read_text(path).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
+
+
 # ------------------------------------------------------------- text analysis
 
 

@@ -395,3 +395,27 @@ def test_hll_by_type_tracks_exact(ray_session):
     assert set(exact) == set(est) and len(exact) >= 3
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(2, 0.02 * n), (t, n, est[t])
+
+
+def test_jsonl_repair_recovers_planted_malformations(ray_session):
+    """The JSONL text source must contain genuinely malformed lines (brace
+    dropped / trailing comma) and the repair pipeline must still match the
+    parquet ground truth row for row."""
+    import json as _json
+
+    from engine.queries import _events_jsonl_cache, jsonl_repair_events, repair_extract_events
+
+    path = _events_jsonl_cache(SF_DIR)
+    broken = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            try:
+                _json.loads(line)
+            except _json.JSONDecodeError:
+                broken += 1
+    assert broken > 0, "cache must plant malformed lines"
+
+    got = jsonl_repair_events(SF_DIR).take_all()
+    want = repair_extract_events(SF_DIR).take_all()
+    assert [(r["event_id"], r["k"]) for r in got] \
+        == [(r["event_id"], r["k"]) for r in want]
