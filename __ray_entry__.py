@@ -709,6 +709,52 @@ def _audio_features(sf_dir: str):
 
 
 
+def _image_resize(sf_dir: str):
+    """Hash-oracled REAL image resize: decode + stride-2 nearest-neighbour
+    resample, integer luminance sums (no float rounding anywhere) — the
+    oracle recomputes the sampled gradient grid closed-form.  Undecodable
+    ('unknown') rows emit no output on either side."""
+    import ray.data
+
+    from engine.data.images import synth_image_batch
+    from engine.ops.multimodal import ImageResizeStage
+
+    ds = ray.data.range(IMAGE_DIMS_N).map_batches(
+        synth_image_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4))
+    return out.sort("img_id")
+
+
+IMAGE_RESIZE_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+geo AS (
+  SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 37 AS h
+  FROM ids WHERE i % 5 <> 4
+),
+px AS (
+  SELECT g.i,
+    SUM(CASE WHEN g.i % 5 = 1 THEN CAST((2*p.x + 4*p.y + g.i) % 256 AS BIGINT)
+        ELSE CAST((2*p.x + 4*p.y + g.i) % 256 AS BIGINT)
+           + CAST((2*p.x + 4*p.y + g.i + 85) % 256 AS BIGINT)
+           + CAST((2*p.x + 4*p.y + g.i + 170) % 256 AS BIGINT) END) AS s,
+    COUNT(*) * (CASE WHEN g.i % 5 = 1 THEN 1 ELSE 3 END) AS nvals
+  FROM geo g JOIN (SELECT a.range AS x, b.range AS y
+                   FROM range(0, 32) a CROSS JOIN range(0, 26) b) p
+    ON p.x < (g.w + 1) // 2 AND p.y < (g.h + 1) // 2
+  GROUP BY g.i
+)
+SELECT g.i AS img_id,
+  CASE WHEN g.i % 5 = 2 THEN 'bmp' WHEN g.i % 5 = 3 THEN 'tga'
+       ELSE 'pnm' END AS img_format,
+  CAST((g.w + 1) // 2 AS BIGINT) AS out_w,
+  CAST((g.h + 1) // 2 AS BIGINT) AS out_h,
+  CAST(px.s AS BIGINT) AS lum_sum, CAST(px.nvals AS BIGINT) AS nvals
+FROM geo g JOIN px ON px.i = g.i
+ORDER BY img_id
+"""
+
+
 def _image_metadata(sf_dir: str):
     """Hash-oracled full image-decode metadata (round-2 VERDICT item 1):
     the gradient corpus makes every decoded pixel — hence the mean
@@ -1011,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dims": _video_dims,
         "rolling_fingerprint": _rolling_fingerprint,
         "image_metadata": _image_metadata,
+        "image_resize": _image_resize,
         "video_frame_sample": _video_frame_sample,
         "clips_verdicts_vs_planted": _clips_verdicts_vs_planted,
         "clips_violations_vs_planted": _clips_violations_vs_planted,
@@ -1078,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "video_dims": VIDEO_DIMS_SQL,
         "rolling_fingerprint": ROLLING_FP_SQL,
         "image_metadata": IMAGE_METADATA_SQL,
+        "image_resize": IMAGE_RESIZE_SQL,
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
         "clips_verdicts_vs_planted": CLIPS_VERDICTS_PLANTED_SQL,
         "clips_violations_vs_planted": CLIPS_VIOLATIONS_PLANTED_SQL,

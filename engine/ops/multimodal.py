@@ -127,6 +127,50 @@ class AudioChunkStage:
             .append_column("chunk_rms", pa.array(np.concatenate(rms)))
 
 
+class ImageResizeStage:
+    """Binary image column → stride-``factor`` nearest-neighbour downscale
+    metadata (out_w, out_h, lum_sum, nvals) — REAL decode + REAL resample
+    (``arr[::f, ::f]``), the thumbnail/feature-prep step of an image
+    pipeline.  lum_sum is the integer sum of every sampled channel value,
+    so the output is bit-exact against a closed-form oracle on the
+    synthetic gradient corpus (no float rounding anywhere).  Undecodable
+    payloads are dropped (a strict variant would raise — same policy knob
+    as ImageDecodeStage).  To emit resized BYTES instead of metadata a
+    caller would re-encode in __call__; the decode/resample plumbing is
+    identical."""
+
+    def __init__(self, bytes_col: str = "image", factor: int = 2) -> None:
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.bytes_col = bytes_col
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.image import ImageDecodeError, decode_image
+
+        blobs = batch.column(self.bytes_col)
+        keep_cols = [c for c in batch.column_names if c != self.bytes_col]
+        out_idx, fmts, ws, hs, sums, nvals = [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            try:
+                arr, fmt = decode_image(blobs[i].as_py())
+            except ImageDecodeError:
+                continue
+            small = arr[::self.factor, ::self.factor]
+            out_idx.append(i)
+            fmts.append(fmt)
+            hs.append(small.shape[0])
+            ws.append(small.shape[1])
+            sums.append(int(small.astype(np.int64).sum()))
+            nvals.append(int(small.size))
+        base = batch.select(keep_cols).take(pa.array(out_idx, pa.int64()))
+        return base.append_column("img_format", pa.array(fmts, pa.string())) \
+            .append_column("out_w", pa.array(ws, pa.int64())) \
+            .append_column("out_h", pa.array(hs, pa.int64())) \
+            .append_column("lum_sum", pa.array(sums, pa.int64())) \
+            .append_column("nvals", pa.array(nvals, pa.int64()))
+
+
 class ImageDecodeStage:
     """Binary image column → (width, height, mode, img_format, mean_lum,
     decode_ok) metadata.  REAL decode for PPM/PGM, 24-bit BMP and type-2 TGA

@@ -588,3 +588,24 @@ def test_knn_multi_query_matches_single_query(ray_session):
             .sort(["sim", "vec_id"], descending=[True, False]).limit(4).take_all()
         for rank, r in enumerate(single, 1):
             assert got[(qid, rank)] == (r["vec_id"], round(r["sim"], 5))
+
+
+def test_image_resize_stage_matches_numpy():
+    """Stride-2 resample must equal arr[::2, ::2] on a decoded image, and
+    undecodable payloads must vanish from the output."""
+    from engine.data.images import synth_image
+    from engine.image import decode_image
+    from engine.ops.multimodal import ImageResizeStage
+
+    batch = pa.table({
+        "img_id": pa.array([0, 4], pa.int64()),   # id 4 is the opaque payload
+        "image": pa.array([synth_image(0), synth_image(4)], pa.large_binary()),
+    })
+    out = ImageResizeStage()(batch)
+    assert out.column("img_id").to_pylist() == [0]
+    arr, _ = decode_image(synth_image(0))
+    small = arr[::2, ::2]
+    assert out.column("out_h").to_pylist() == [small.shape[0]]
+    assert out.column("out_w").to_pylist() == [small.shape[1]]
+    assert out.column("lum_sum").to_pylist() == [int(small.astype(np.int64).sum())]
+    assert out.column("nvals").to_pylist() == [small.size]
