@@ -103,6 +103,8 @@ QUERY_BENCH_NAMES = [
     "repair_extract_events", "events_daily_by_type", "knn_cosine_top10",
     "minhash_near_dup", "simhash_near_dup", "hll_distinct_users",
     "tdigest_quantity", "sessionize_events", "revenue_by_segment_day",
+    # round-3 curation family (fast representatives)
+    "top_terms_per_document", "large_gap_events", "distinct_users_by_type",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single
