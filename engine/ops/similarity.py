@@ -379,8 +379,10 @@ def knn_multi_query(ds, query_ids, query_mat, k: int = 5, *,
 
         ids_q, Qm = _broadcast_from_ref(q_ref)
         mat = _embedding_matrix(batch, col)
+        # Empty blocks must carry the batch's own id type (int32/string
+        # corpora) or Ray's schema unification rejects the mix.
         empty = pa.table({"query_id": pa.array([], pa.int64()),
-                          id_col: pa.array([], pa.int64()),
+                          id_col: pa.array([], batch.schema.field(id_col).type),
                           "sim": pa.array([], pa.float64())})
         if mat.shape[0] == 0:
             return empty

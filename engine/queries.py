@@ -321,9 +321,9 @@ def hll_users_by_type(sf_dir: str):
         types = batch.column("event_type").to_pandas()
         users = batch.column("user_id").to_numpy()
         out_t, out_s = [], []
-        for t, idx in pd.Series(np.arange(len(types))).groupby(types).groups.items():
+        for t, idx in pd.Series(users).groupby(types).indices.items():
             h = HyperLogLog()
-            h.update(users[np.asarray(idx)])
+            h.update(users[idx])
             out_t.append(t)
             out_s.append(_json.dumps(h.state()))
         return pa.table({"event_type": pa.array(out_t, pa.string()),
@@ -576,18 +576,26 @@ def _events_jsonl_cache(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        for eid, props in zip(tbl.column("event_id").to_pylist(),
-                              tbl.column("props").to_pylist()):
-            line = json.dumps({"event_id": eid, "props": props},
-                              separators=(",", ":"))
-            if eid % 7 == 3:
-                line = line[:-1]                      # drop the closing brace
-            elif eid % 7 == 5:
-                line = line[:-1] + ",}"               # trailing comma
-            f.write(line + "\n")
-    os.replace(tmp, path)
+    # pid-suffixed tmp + atomic replace: concurrent builders write disjoint
+    # files and the loser's finished copy replaces identically (the output
+    # is deterministic), so a lost race can never publish interleaved bytes
+    # (round-3 review finding — a shared ".tmp" truncates mid-write).
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            for eid, props in zip(tbl.column("event_id").to_pylist(),
+                                  tbl.column("props").to_pylist()):
+                line = json.dumps({"event_id": eid, "props": props},
+                                  separators=(",", ":"))
+                if eid % 7 == 3:
+                    line = line[:-1]                  # drop the closing brace
+                elif eid % 7 == 5:
+                    line = line[:-1] + ",}"           # trailing comma
+                f.write(line + "\n")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 
@@ -778,7 +786,15 @@ def knn_multi_top5(sf_dir: str, m: int = 8, k: int = 5):
     ordering is the oracle's (ROUND(sim,5) DESC, vec_id) per query."""
     from engine.ops.similarity import knn_multi_query
 
+    # m lowest ids without a global sort: per-batch local min-m cut, then a
+    # sort of the #batches x m candidate rows only (round-3 review finding).
+    def local_min(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="mergesort")[:m]
+        return batch.take(pa.array(take))
+
     qrows = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(local_min, batch_format="pyarrow", zero_copy_batch=True) \
         .sort("vec_id").limit(m).take_all()
     qids = [r["vec_id"] for r in qrows]
     qmat = np.asarray([r["embedding"] for r in qrows], dtype=np.float32)

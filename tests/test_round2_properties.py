@@ -137,8 +137,8 @@ def test_pointer_jumping_matches_union_find(edges):
 
     from engine.ops.cc import minlabel_pointer_jumping
 
-    pairs = [(a, b) for a, b in edges if a != b]
-    if not pairs:
+    pairs = edges                   # self-loops INCLUDED: the kernel must
+    if not pairs:                   # label a self-loop node as itself
         return
     a = np.array([p[0] for p in pairs], dtype=np.int64)
     b = np.array([p[1] for p in pairs], dtype=np.int64)
