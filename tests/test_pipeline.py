@@ -40,15 +40,20 @@ def test_outputs_on_disk(small_run):
     assert manifest["row_range"] and "metrics" in manifest
 
 
-def test_resume_skips_done_partitions(small_run):
-    import time
-
+def test_resume_skips_done_partitions(small_run, monkeypatch):
+    """Behavioral, not timed: a fully-finished run's resume must never enter
+    the per-partition compute path at all (a wall-clock bound here flaked
+    under machine load — round-3)."""
+    import engine.run as runmod
     from engine.run import run_validation
 
     out, m = small_run
-    t0 = time.time()
+
+    def bomb(*a, **k):
+        raise AssertionError("resume recomputed a finished partition")
+
+    monkeypatch.setattr(runmod, "_run_partition", bomb)
     m2 = run_validation(600, str(out), n_partitions=2, batch_size=128)
-    assert time.time() - t0 < 2.0       # pure manifest read
     assert m2["violations"] == m["violations"]
     assert m2["rows"] == m["rows"]
 
