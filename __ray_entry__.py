@@ -1037,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_gap_events": q.large_gap_events,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
+        "revenue_by_brand": q.revenue_by_brand,
+        "supplier_stats_by_region": q.supplier_stats_by_region,
         "union_region_nation_names": q.union_region_nation_names,
         "sample_documents": q_sample,
         "stratified_sample_documents": q.stratified_sample_documents,
@@ -1105,6 +1107,8 @@ def oracle_sql() -> dict[str, str]:
         "large_gap_events": q.LARGE_GAP_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
+        "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,
+        "supplier_stats_by_region": q.SUPPLIER_REGION_SQL,
         "union_region_nation_names": q.UNION_SQL,
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "stratified_sample_documents": q.STRATIFIED_SAMPLE_SQL,

@@ -1593,6 +1593,149 @@ GROUP BY segment, month ORDER BY segment, month
 """
 
 
+def revenue_by_brand(sf_dir: str):
+    """lineitem ⋈ part revenue per brand (TPC-H Q14 flavour) — the
+    part-table dimension join.  The part side is a size-gated broadcast
+    (BroadcastMap int keys → brand codes); brands are low-cardinality so
+    the exchange is #batches × #brands partial rows.  Past the gate the
+    join path shuffles (partkey, cents) partials instead.
+    """
+    import ray
+
+    from engine.stages import BroadcastMap, shuffle_partitions
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "brand": batch.column("brand"),
+            "n_items": batch.column("sum(n)"),
+            "revenue": pa.array(_half_away_round(
+                batch.column("sum(rev_c)").to_numpy() / 100.0, 2)),
+        })
+
+    if part.count() <= DIM_BROADCAST_MAX_ROWS:
+        import pandas as pd
+
+        rows = part.take_all()
+        keys = np.array([r["p_partkey"] for r in rows], dtype=np.int64)
+        codes, uniques = pd.factorize(
+            np.asarray([r["p_brand"] for r in rows], dtype=object))
+        lut_ref = ray.put(BroadcastMap(keys, codes.astype(np.int32)))
+        brand_arr = pa.array(uniques.tolist(), pa.string())
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from engine.stages import _broadcast_from_ref
+
+            code, found = _broadcast_from_ref(lut_ref).lookup(
+                batch.column("l_partkey").to_numpy())
+            cents = _half_away_cents(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy()))
+            code, cents = code[found], cents[found]   # inner-join semantics
+            n_brands = len(brand_arr)
+            rev = np.bincount(code, weights=cents, minlength=n_brands)
+            cnt = np.bincount(code, minlength=n_brands)
+            hit = cnt > 0
+            return pa.table({
+                "brand": brand_arr.take(pa.array(np.flatnonzero(hit).astype(np.int32))),
+                "rev_c": pa.array(rev[hit].astype(np.int64)),
+                "n": pa.array(cnt[hit].astype(np.int64)),
+            })
+
+        return line.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby("brand").sum(["n", "rev_c"]) \
+            .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+            .sort("brand")
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_partkey").to_numpy()
+        cents = _half_away_cents(batch.column("l_extendedprice").to_numpy()
+                                 * (1.0 - batch.column("l_discount").to_numpy()))
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "p_partkey": pa.array(uniq),
+            "rev_c": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    joined = line.map_batches(line_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .join(part, join_type="inner",
+              num_partitions=shuffle_partitions(line.count()),
+              on=("p_partkey",))
+    return joined.map_batches(
+        lambda t: pa.table({"brand": t.column("p_brand"),
+                            "rev_c": t.column("rev_c"), "n": t.column("n")}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("brand").sum(["n", "rev_c"]) \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("brand")
+
+
+REVENUE_BY_BRAND_SQL = """
+SELECT p_brand AS brand, COUNT(*) AS n_items,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY brand ORDER BY brand
+"""
+
+
+def supplier_stats_by_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region: supplier count + account balance per
+    region — the two tiny dimensions collapse to one driver-built
+    suppkey-side lookup (nationkey → region name), and the supplier scan
+    emits per-batch per-region partials (#batches × #regions rows)."""
+    import pandas as pd
+
+    nation = {r["n_nationkey"]: r["n_regionkey"]
+              for r in _read(sf_dir, "nation",
+                             columns=["n_nationkey", "n_regionkey"]).take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region",
+                             columns=["r_regionkey", "r_name"]).take_all()}
+    nat_to_region = {nk: region[rk] for nk, rk in nation.items() if rk in region}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cents = _half_away_cents(batch.column("s_acctbal").to_numpy())
+        names = pd.Series(nk).map(nat_to_region)
+        keep = names.notna().to_numpy()
+        df = pd.DataFrame({"region": names[keep],
+                           "bal_c": cents[keep]})
+        g = df.groupby("region", as_index=False).agg(
+            n=("bal_c", "size"), bal_c=("bal_c", "sum"))
+        return pa.table({"region": pa.array(g["region"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                         "bal_c": pa.array(g["bal_c"].to_numpy().astype(np.int64))})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "region": batch.column("region"),
+            "n_suppliers": batch.column("sum(n)"),
+            "acctbal": pa.array(_half_away_round(
+                batch.column("sum(bal_c)").to_numpy() / 100.0, 2)),
+        })
+
+    return _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("region").sum(["n", "bal_c"]) \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("region")
+
+
+SUPPLIER_REGION_SQL = """
+SELECT r_name AS region, COUNT(*) AS n_suppliers,
+       ROUND(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0, 2) AS acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 # ------------------------------------------------------------------- set ops
 
 

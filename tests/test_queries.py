@@ -419,3 +419,16 @@ def test_jsonl_repair_recovers_planted_malformations(ray_session):
     want = repair_extract_events(SF_DIR).take_all()
     assert [(r["event_id"], r["k"]) for r in got] \
         == [(r["event_id"], r["k"]) for r in want]
+
+
+def test_revenue_by_brand_gate_paths_agree(ray_session, monkeypatch):
+    """Broadcast and join paths of the part-dimension revenue query must
+    produce identical results (same gate contract as the segment joins)."""
+    from engine import queries as q
+    from tools.check_oracles import canonical_hash, to_pandas
+
+    broadcast = to_pandas(q.revenue_by_brand(SF_DIR))
+    monkeypatch.setattr(q, "DIM_BROADCAST_MAX_ROWS", 0)
+    joined = to_pandas(q.revenue_by_brand(SF_DIR))
+    assert len(broadcast) == len(joined) > 0
+    assert canonical_hash(broadcast) == canonical_hash(joined)
