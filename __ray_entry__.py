@@ -1030,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_document": q.top_terms_per_document,
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
         "events_daily_by_type": q.events_daily_by_type,
+        "csv_events_daily": q.csv_events_daily,
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_multi_top5": q.knn_multi_top5,
         "sessionize_events": q.sessionize_events,
@@ -1100,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_document": q.TOP_TERMS_SQL,
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
+        "csv_events_daily": q.EVENTS_DAILY_SQL,
         "knn_cosine_top10": q.KNN_SQL,
         "knn_multi_top5": q.KNN_MULTI_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,

@@ -702,8 +702,48 @@ FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY d
 
 
 def events_daily_by_type(sf_dir: str):
-    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return _events_daily_agg(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"]))
 
+
+def _events_csv_cache(sf_dir: str) -> str:
+    """Derive a CSV text form of (event_type, ts, value) — pyarrow's CSV
+    writer emits ISO timestamps and shortest-round-trip doubles, so the
+    text file carries exactly the parquet values.  pid-suffixed tmp +
+    atomic replace (same race-safe recipe as the JSONL cache)."""
+    import os
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/graft_events_csv_v1_{tag}.csv"
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        pacsv.write_csv(tbl, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def csv_events_daily(sf_dir: str):
+    """CSV TEXT SOURCE: the same daily aggregate as events_daily_by_type but
+    streamed from a derived CSV file via ray.data.read_csv (type inference
+    recovers timestamp/double columns) — source-format coverage next to
+    parquet, Lance-seam and JSONL.  Shares the oracle with the parquet
+    query, so a lossy round-trip would hash-mismatch."""
+    import ray.data
+
+    return _events_daily_agg(ray.data.read_csv(_events_csv_cache(sf_dir)))
+
+
+def _events_daily_agg(ds):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
