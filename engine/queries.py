@@ -417,34 +417,39 @@ WHERE c_custkey IS NULL ORDER BY o_orderkey
 DIM_BROADCAST_MAX_ROWS = 8_000_000
 
 
-def _segment_lookup(cust_ds):
-    """Compact c_custkey→segment broadcast state: a BroadcastMap of int64
-    keys → int8 dictionary codes plus the unique segment strings —
-    ~9 bytes/row instead of a Python dict's ~100."""
+def _dim_code_lookup(ds, key_col: str, val_col: str):
+    """Compact key→value broadcast state for any dimension: a BroadcastMap
+    of int64 keys → dictionary codes plus the unique value strings —
+    ~9 bytes/row instead of a Python dict's ~100.  Arrow-native build
+    (iter_batches → concat → zero-copy factorize), never per-row Python."""
     import pandas as pd
 
     from engine.stages import BroadcastMap
 
-    parts = list(cust_ds.iter_batches(batch_format="pyarrow", batch_size=65536))
-    if not parts:                # empty dimension: empty map, no segments
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    if not parts:                # empty dimension: empty map, no values
         return BroadcastMap(np.empty(0, dtype=np.int64),
                             np.empty(0, dtype=np.int8)), []
     t = pa.concat_tables(parts)
-    codes, uniques = pd.factorize(t.column("c_mktsegment").to_pandas())
-    segments: list[str | None] = [str(u) for u in uniques]
+    codes, uniques = pd.factorize(t.column(val_col).to_pandas())
+    values: list[str | None] = [str(u) for u in uniques]
     if (codes < 0).any():
-        # factorize marks NULL segments as -1; map them to an explicit None
-        # entry so lookups group them like SQL's GROUP BY (round-2 advice —
+        # factorize marks NULLs as -1; map them to an explicit None entry so
+        # lookups group them like SQL's GROUP BY (round-2 advice —
         # uniq_arr.take(-1) would otherwise wrap/crash downstream).
-        codes = np.where(codes < 0, len(segments), codes)
-        segments.append(None)
+        codes = np.where(codes < 0, len(values), codes)
+        values.append(None)
     # Code dtype sized to the dictionary: int8 silently wraps past 127
-    # distinct segments (round-2 advice).
+    # distinct values (round-2 advice).
     for dt in (np.int8, np.int16, np.int32):
-        if len(segments) <= np.iinfo(dt).max:
+        if len(values) <= np.iinfo(dt).max:
             break
-    bm = BroadcastMap(t.column("c_custkey").to_numpy(), codes.astype(dt))
-    return bm, segments
+    bm = BroadcastMap(t.column(key_col).to_numpy(), codes.astype(dt))
+    return bm, values
+
+
+def _segment_lookup(cust_ds):
+    return _dim_code_lookup(cust_ds, "c_custkey", "c_mktsegment")
 
 
 def orders_per_segment(sf_dir: str):
@@ -560,6 +565,17 @@ FROM events ORDER BY event_id
 _JSONL_CACHE_VERSION = "v1"
 
 
+def _source_token(parquet_path: str) -> str:
+    """Staleness key for /tmp caches derived from a parquet source: the
+    source's (mtime_ns, size) — a regenerated corpus or a same-named dir at
+    another path gets a fresh cache instead of silently serving stale rows
+    (round-3 review finding)."""
+    import os
+
+    st = os.stat(parquet_path)
+    return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+
+
 def _events_jsonl_cache(sf_dir: str) -> str:
     """Derive a JSONL TEXT form of the events table (one JSON object per
     line) with deterministic malformations planted by event_id:
@@ -569,13 +585,15 @@ def _events_jsonl_cache(sf_dir: str) -> str:
     /tmp, atomic rename (same recipe as the clips cache)."""
     import os
 
+    src = f"{sf_dir}/events.parquet"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/graft_events_jsonl_{_JSONL_CACHE_VERSION}_{tag}.jsonl"
+    path = (f"/tmp/graft_events_jsonl_{_JSONL_CACHE_VERSION}_{tag}"
+            f"_{_source_token(src)}.jsonl")
     if os.path.exists(path):
         return path
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    tbl = pq.read_table(src, columns=["event_id", "props"])
     # pid-suffixed tmp + atomic replace: concurrent builders write disjoint
     # files and the loser's finished copy replaces identically (the output
     # is deterministic), so a lost race can never publish interleaved bytes
@@ -716,12 +734,12 @@ def _events_csv_cache(sf_dir: str) -> str:
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
 
+    src = f"{sf_dir}/events.parquet"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/graft_events_csv_v1_{tag}.csv"
+    path = f"/tmp/graft_events_csv_v1_{tag}_{_source_token(src)}.csv"
     if os.path.exists(path):
         return path
-    tbl = pq.read_table(f"{sf_dir}/events.parquet",
-                        columns=["event_type", "ts", "value"])
+    tbl = pq.read_table(src, columns=["event_type", "ts", "value"])
     tmp = f"{path}.{os.getpid()}.tmp"
     try:
         pacsv.write_csv(tbl, tmp)
@@ -1642,7 +1660,7 @@ def revenue_by_brand(sf_dir: str):
     """
     import ray
 
-    from engine.stages import BroadcastMap, shuffle_partitions
+    from engine.stages import shuffle_partitions
 
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
     line = _read(sf_dir, "lineitem",
@@ -1657,14 +1675,9 @@ def revenue_by_brand(sf_dir: str):
         })
 
     if part.count() <= DIM_BROADCAST_MAX_ROWS:
-        import pandas as pd
-
-        rows = part.take_all()
-        keys = np.array([r["p_partkey"] for r in rows], dtype=np.int64)
-        codes, uniques = pd.factorize(
-            np.asarray([r["p_brand"] for r in rows], dtype=object))
-        lut_ref = ray.put(BroadcastMap(keys, codes.astype(np.int32)))
-        brand_arr = pa.array(uniques.tolist(), pa.string())
+        bm, brands = _dim_code_lookup(part, "p_partkey", "p_brand")
+        lut_ref = ray.put(bm)
+        brand_arr = pa.array(brands, pa.string())
 
         def partial(batch: pa.Table) -> pa.Table:
             from engine.stages import _broadcast_from_ref
@@ -1685,33 +1698,35 @@ def revenue_by_brand(sf_dir: str):
                 "n": pa.array(cnt[hit].astype(np.int64)),
             })
 
-        return line.map_batches(partial, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-            .groupby("brand").sum(["n", "rev_c"]) \
-            .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
-            .sort("brand")
+        partials = line.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        def line_partial(batch: pa.Table) -> pa.Table:
+            keys = batch.column("l_partkey").to_numpy()
+            cents = _half_away_cents(
+                batch.column("l_extendedprice").to_numpy()
+                * (1.0 - batch.column("l_discount").to_numpy()))
+            uniq, inv = np.unique(keys, return_inverse=True)
+            return pa.table({
+                "p_partkey": pa.array(uniq),
+                "rev_c": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            })
 
-    def line_partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column("l_partkey").to_numpy()
-        cents = _half_away_cents(batch.column("l_extendedprice").to_numpy()
-                                 * (1.0 - batch.column("l_discount").to_numpy()))
-        uniq, inv = np.unique(keys, return_inverse=True)
-        return pa.table({
-            "p_partkey": pa.array(uniq),
-            "rev_c": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
-            "n": pa.array(np.bincount(inv).astype(np.int64)),
-        })
+        partials = line.map_batches(line_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .join(part, join_type="inner",
+                  num_partitions=shuffle_partitions(line.count()),
+                  on=("p_partkey",)) \
+            .map_batches(
+                lambda t: pa.table({"brand": t.column("p_brand"),
+                                    "rev_c": t.column("rev_c"),
+                                    "n": t.column("n")}),
+                batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = line.map_batches(line_partial, batch_format="pyarrow",
-                              zero_copy_batch=True) \
-        .join(part, join_type="inner",
-              num_partitions=shuffle_partitions(line.count()),
-              on=("p_partkey",))
-    return joined.map_batches(
-        lambda t: pa.table({"brand": t.column("p_brand"),
-                            "rev_c": t.column("rev_c"), "n": t.column("n")}),
-        batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("brand").sum(["n", "rev_c"]) \
+    # ONE shared aggregate tail for both gate paths (a duplicated tail can
+    # silently diverge — the structure the gate-parity test protects).
+    return partials.groupby("brand").sum(["n", "rev_c"]) \
         .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
         .sort("brand")
 
