@@ -1036,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "top_events_per_user": q.top_events_per_user,
         "large_gap_events": q.large_gap_events,
+        "cap_events_per_user": q.cap_events_per_user,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
@@ -1107,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": q.SESSIONIZE_SQL,
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,
+        "cap_events_per_user": q.CAP_EVENTS_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,

@@ -1080,6 +1080,61 @@ ORDER BY user_id
 """
 
 
+def cap_events_per_user(sf_dir: str, k: int = 5):
+    """Per-key cap: keep each user's k EARLIEST events (ts, event_id order)
+    — the bot-user downweighting step of an events curation pipeline (a
+    hot key contributes at most k rows downstream).  Same salted-partition
+    windowed-rank shape as top_events_per_user."""
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def cap_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_id": pa.array([], pa.int64()),
+                          "ts": pa.array([], pa.timestamp("us"))})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid, tsv = uid[order], eid[order], tsv[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        keep = rank < k
+        return pa.table({
+            "user_id": pa.array(uid[keep]),
+            "event_id": pa.array(eid[keep]),
+            "ts": pa.array(tsv[keep].view("datetime64[us]")),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(cap_partition, batch_format="pyarrow") \
+        .sort(["user_id", "event_id"])
+
+
+CAP_EVENTS_SQL = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 5 ORDER BY user_id, event_id
+"""
+
+
 def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
     """Window NAVIGATION (LAG): events preceded by a suspicious inactivity
     gap (> gap_seconds) from the same user's previous event — the
