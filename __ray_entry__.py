@@ -1042,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_brand": q.revenue_by_brand,
         "supplier_stats_by_region": q.supplier_stats_by_region,
         "union_region_nation_names": q.union_region_nation_names,
+        "users_purchase_and_error": q.users_purchase_and_error,
+        "users_never_purchased": q.users_never_purchased,
         "sample_documents": q_sample,
         "stratified_sample_documents": q.stratified_sample_documents,
         "long_tail_documents": q.long_tail_documents,
@@ -1114,6 +1116,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,
         "supplier_stats_by_region": q.SUPPLIER_REGION_SQL,
         "union_region_nation_names": q.UNION_SQL,
+        "users_purchase_and_error": q.INTERSECT_SQL,
+        "users_never_purchased": q.EXCEPT_SQL,
         "sample_documents": q.SAMPLE_DOCS_SQL,
         "stratified_sample_documents": q.STRATIFIED_SAMPLE_SQL,
         "long_tail_documents": q.LONG_TAIL_SQL,

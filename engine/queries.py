@@ -1863,6 +1863,86 @@ def union_region_nation_names(sf_dir: str):
     return regions.union(nations).sort(["kind", "name"])
 
 
+def users_purchase_and_error(sf_dir: str):
+    """INTERSECT: users who both purchased AND hit an error — one scan, a
+    per-batch (user, flags) dedup partial, then a user groupby with max
+    over the two membership flags (intersection = both flags set).  The
+    classic two-branch INTERSECT without scanning the table twice.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pandas()
+        users = batch.column("user_id").to_numpy()
+        df = pd.DataFrame({
+            "user_id": users,
+            "p": (types == "purchase").to_numpy().astype(np.int64),
+            "e": (types == "error").to_numpy().astype(np.int64),
+        })
+        g = df.groupby("user_id", as_index=False).agg(p=("p", "max"), e=("e", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").max(["p", "e"]) \
+        .map_batches(lambda t: pa.table({
+            "user_id": t.column("user_id").filter(
+                pc.and_(pc.equal(t.column("max(p)"), 1),
+                        pc.equal(t.column("max(e)"), 1)))}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("user_id")
+
+
+INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+def users_never_purchased(sf_dir: str):
+    """EXCEPT: users with events but no purchase — same one-scan flag
+    groupby shape as the INTERSECT query, filtered on the complement."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pandas()
+        users = batch.column("user_id").to_numpy()
+        df = pd.DataFrame({
+            "user_id": users,
+            "p": (types == "purchase").to_numpy().astype(np.int64),
+        })
+        g = df.groupby("user_id", as_index=False).agg(p=("p", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").max("p") \
+        .map_batches(lambda t: pa.table({
+            "user_id": t.column("user_id").filter(
+                pc.equal(t.column("max(p)"), 0))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    # Small-report materialization with an explicit schema: on this dense
+    # corpus the true answer is EMPTY, and Ray drops the column set of an
+    # all-empty Dataset through sort/to_pandas (schema None) — the same
+    # pattern _embedding_near_dup_exact uses.  The report is bounded by
+    # the non-purchasing user count; a corpus where that set rivals the
+    # user table would stream this as a Dataset instead.
+    ids = sorted(r["user_id"] for r in out.take_all())
+    return pa.table({"user_id": pa.array(ids, pa.int64())})
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
 UNION_SQL = """
 SELECT r_name AS name, 'region' AS kind FROM region
 UNION ALL

@@ -432,3 +432,22 @@ def test_revenue_by_brand_gate_paths_agree(ray_session, monkeypatch):
     joined = to_pandas(q.revenue_by_brand(SF_DIR))
     assert len(broadcast) == len(joined) > 0
     assert canonical_hash(broadcast) == canonical_hash(joined)
+
+
+def test_except_query_finds_planted_nonpurchasers(ray_session, tmp_path):
+    """users_never_purchased must surface users once they exist (the real
+    corpus is dense, so the oracle only proves the empty case)."""
+    import pyarrow.parquet as pq
+
+    from engine.queries import users_never_purchased, users_purchase_and_error
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(["purchase", "error", "view", "click",
+                                "purchase", "view"]),
+    }), str(tmp_path / "events.parquet"))
+    never = users_never_purchased(str(tmp_path))
+    assert never.column("user_id").to_pylist() == [2]
+    both = [r["user_id"]
+            for r in users_purchase_and_error(str(tmp_path)).take_all()]
+    assert both == [1]
