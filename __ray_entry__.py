@@ -1037,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q.top_events_per_user,
         "large_gap_events": q.large_gap_events,
         "cap_events_per_user": q.cap_events_per_user,
+        "events_moving_avg": q.events_moving_avg,
+        "events_dow_pivot": q.events_dow_pivot,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
@@ -1111,6 +1113,8 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,
         "cap_events_per_user": q.CAP_EVENTS_SQL,
+        "events_moving_avg": q.MOVING_AVG_SQL,
+        "events_dow_pivot": q.DOW_PIVOT_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,

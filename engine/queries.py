@@ -1080,6 +1080,113 @@ ORDER BY user_id
 """
 
 
+def events_moving_avg(sf_dir: str, window: int = 7):
+    """FRAMED window aggregate: per event type, the trailing-7-day moving
+    average of daily event counts (ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW).  The daily aggregate is the established partial-combine shuffle
+    (#batches × #(type, day) rows); the frame itself runs per type on the
+    tiny aggregated series — one cumsum pass, no second shuffle of raw
+    events.  Averages are exact integer-count ratios rounded half-away
+    (matches SQL ROUND on COUNT aggregates).
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
+        })
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.table({"event_type": pa.array(g["event_type"], pa.string()),
+                         "day": pa.array(g["day"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    def frame_per_type(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("day").to_numpy(zero_copy_only=False),
+                           kind="mergesort")
+        days = group.column("day").take(pa.array(order))
+        n = group.column("sum(n)").to_numpy(zero_copy_only=False)[order]
+        cum = np.concatenate([[0], np.cumsum(n)])
+        idx = np.arange(n.size)
+        lo = np.maximum(0, idx - (window - 1))
+        win_sum = cum[idx + 1] - cum[lo]
+        win_len = idx + 1 - lo
+        avg = _half_away_round(win_sum / win_len, 4)
+        return pa.table({
+            "event_type": group.column("event_type").take(pa.array(order)),
+            "day": days,
+            "n": pa.array(n),
+            "avg7": pa.array(avg),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["event_type", "day"]).sum("n") \
+        .groupby("event_type").map_groups(frame_per_type, batch_format="pyarrow") \
+        .sort(["event_type", "day"])
+
+
+def events_dow_pivot(sf_dir: str):
+    """PIVOT / crosstab: event counts as a wide (event_type × ISO-weekday)
+    table.  Per-batch 2-D bincount partials (type code × dow) make the
+    shuffle #batches × #types rows of 7 ints; the groupby sums the wide
+    columns directly — the reshape happens in the combiner, never on raw
+    rows."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    dow_cols = [f"dow{i}" for i in range(1, 8)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        types = batch.column("event_type").to_pandas()
+        # Arrow day_of_week: Monday=0 … Sunday=6 → ISO 1..7.
+        dow = pc.day_of_week(batch.column("ts")).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(types)
+        grid = np.zeros((len(uniques), 7), dtype=np.int64)
+        np.add.at(grid, (codes, dow), 1)
+        cols = {"event_type": pa.array(uniques.tolist(), pa.string())}
+        for i, name in enumerate(dow_cols):
+            cols[name] = pa.array(grid[:, i])
+        return pa.table(cols)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {"event_type": batch.column("event_type")}
+        for name in dow_cols:
+            cols[name] = batch.column(f"sum({name})")
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("event_type").sum(dow_cols) \
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("event_type")
+
+
+DOW_PIVOT_SQL = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN isodow(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow1,
+       CAST(SUM(CASE WHEN isodow(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow2,
+       CAST(SUM(CASE WHEN isodow(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow3,
+       CAST(SUM(CASE WHEN isodow(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow4,
+       CAST(SUM(CASE WHEN isodow(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow5,
+       CAST(SUM(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow6,
+       CAST(SUM(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow7
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+MOVING_AVG_SQL = """
+SELECT event_type, day, n,
+       ROUND(AVG(CAST(n AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+FROM (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, day
+) ORDER BY event_type, day
+"""
+
+
 def cap_events_per_user(sf_dir: str, k: int = 5):
     """Per-key cap: keep each user's k EARLIEST events (ts, event_id order)
     — the bot-user downweighting step of an events curation pipeline (a
