@@ -900,11 +900,6 @@ def _sessionize_single_stage(ds, gap_us: int, n_parts: int):
     history must fit that task — see _sessionize_two_stage for the hot-user-
     safe variant)."""
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy()
-        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
-
     def sessionize_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n == 0:
@@ -927,7 +922,8 @@ def _sessionize_single_stage(ds, gap_us: int, n_parts: int):
             "n_sessions": pa.array(sessions),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
         .groupby("part").map_groups(sessionize_partition, batch_format="pyarrow")
 
 
@@ -1080,6 +1076,29 @@ ORDER BY user_id
 """
 
 
+def _user_part_fn(n_parts: int):
+    """Salted-partition column factory — the shared first stage of every
+    user-window query (rank / cap / lag)."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+    return add_part
+
+
+def _user_run_ranks(uid_sorted: np.ndarray) -> np.ndarray:
+    """1-based rank within runs of an ALREADY-SORTED user column — the
+    shared vectorized rank kernel of the user-window family (round-3
+    review: this index arithmetic was copy-pasted per query)."""
+    n = uid_sorted.size
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = uid_sorted[1:] != uid_sorted[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate([starts, [n]]))
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+
+
 def events_moving_avg(sf_dir: str, window: int = 7):
     """FRAMED window aggregate: per event type, the trailing-7-day moving
     average of daily event counts (ROWS BETWEEN 6 PRECEDING AND CURRENT
@@ -1143,9 +1162,16 @@ def events_dow_pivot(sf_dir: str):
         # Arrow day_of_week: Monday=0 … Sunday=6 → ISO 1..7.
         dow = pc.day_of_week(batch.column("ts")).to_numpy(zero_copy_only=False)
         codes, uniques = pd.factorize(types)
-        grid = np.zeros((len(uniques), 7), dtype=np.int64)
+        values: list[str | None] = [str(u) for u in uniques]
+        if (codes < 0).any():
+            # factorize marks NULL types as -1, which np.add.at would wrap
+            # to the LAST row (silent misattribution — round-3 review);
+            # give NULLs their own grid row so they group like SQL.
+            codes = np.where(codes < 0, len(values), codes)
+            values.append(None)
+        grid = np.zeros((len(values), 7), dtype=np.int64)
         np.add.at(grid, (codes, dow), 1)
-        cols = {"event_type": pa.array(uniques.tolist(), pa.string())}
+        cols = {"event_type": pa.array(values, pa.string())}
         for i, name in enumerate(dow_cols):
             cols[name] = pa.array(grid[:, i])
         return pa.table(cols)
@@ -1197,11 +1223,6 @@ def cap_events_per_user(sf_dir: str, k: int = 5):
     n_parts = bucket_shuffle_partitions()
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy()
-        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
-
     def cap_partition(group: pa.Table) -> pa.Table:
         empty = pa.table({"user_id": pa.array([], pa.int64()),
                           "event_id": pa.array([], pa.int64()),
@@ -1214,20 +1235,15 @@ def cap_events_per_user(sf_dir: str, k: int = 5):
         tsv = group.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
         order = np.lexsort((eid, tsv, uid))
         uid, eid, tsv = uid[order], eid[order], tsv[order]
-        new_user = np.empty(n, dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        starts = np.flatnonzero(new_user)
-        counts = np.diff(np.concatenate([starts, [n]]))
-        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
-        keep = rank < k
+        keep = _user_run_ranks(uid) <= k
         return pa.table({
             "user_id": pa.array(uid[keep]),
             "event_id": pa.array(eid[keep]),
             "ts": pa.array(tsv[keep].view("datetime64[us]")),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
         .groupby("part").map_groups(cap_partition, batch_format="pyarrow") \
         .sort(["user_id", "event_id"])
 
@@ -1259,11 +1275,6 @@ def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
     thr_us = np.int64(gap_seconds) * np.int64(1_000_000)
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy()
-        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
-
     def gaps_partition(group: pa.Table) -> pa.Table:
         empty = pa.table({
             "user_id": pa.array([], pa.int64()),
@@ -1292,7 +1303,8 @@ def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
             "gap_us": pa.array(gap[idx - 1]),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
         .groupby("part").map_groups(gaps_partition, batch_format="pyarrow") \
         .sort(["user_id", "event_id"])
 
@@ -1322,11 +1334,6 @@ def top_events_per_user(sf_dir: str, k: int = 3):
     n_parts = bucket_shuffle_partitions()
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy()
-        part = (uid.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
-
     def topk_partition(group: pa.Table) -> pa.Table:
         n = group.num_rows
         empty = pa.table({"user_id": pa.array([], pa.int64()),
@@ -1340,12 +1347,7 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         val = group.column("value").to_numpy()
         order = np.lexsort((eid, -val, uid))     # user ASC, value DESC, id ASC
         uid, eid, val = uid[order], eid[order], val[order]
-        new_user = np.empty(n, dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        starts = np.flatnonzero(new_user)
-        counts = np.diff(np.concatenate([starts, [n]]))
-        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        rank = _user_run_ranks(uid)
         keep = rank <= k
         return pa.table({
             "user_id": pa.array(uid[keep]),
@@ -1354,7 +1356,8 @@ def top_events_per_user(sf_dir: str, k: int = 3):
             "rank": pa.array(rank[keep]),
         })
 
-    return ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
         .groupby("part").map_groups(topk_partition, batch_format="pyarrow") \
         .sort(["user_id", "rank"])
 
