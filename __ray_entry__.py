@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_events_per_user": q.cap_events_per_user,
         "events_moving_avg": q.events_moving_avg,
         "events_dow_pivot": q.events_dow_pivot,
+        "orders_rollup": q.orders_rollup,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
@@ -1115,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_events_per_user": q.CAP_EVENTS_SQL,
         "events_moving_avg": q.MOVING_AVG_SQL,
         "events_dow_pivot": q.DOW_PIVOT_SQL,
+        "orders_rollup": q.ORDERS_ROLLUP_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,

@@ -1076,6 +1076,96 @@ ORDER BY user_id
 """
 
 
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, month): detail rows + per-priority
+    subtotals + a grand total, NULL-marked exactly like SQL.  One scan
+    produces the (priority, month) partial combine; the two coarser
+    levels re-aggregate the already-tiny detail aggregate (priorities ×
+    months rows) — no second pass over orders at any scale."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate",
+                                          "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "priority": batch.column("o_orderpriority").to_pandas(),
+            "month": pc.strftime(batch.column("o_orderdate"),
+                                 format="%Y-%m").to_pandas(),
+            "cents": _half_away_cents(batch.column("o_totalprice").to_numpy()),
+        })
+        g = df.groupby(["priority", "month"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    detail = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["priority", "month"]).sum(["n", "cents"]) \
+        .map_batches(lambda t: pa.table({
+            "priority": t.column("priority"), "month": t.column("month"),
+            "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()     # bounded: priorities × months; re-read 3x below
+
+    sub = detail.map_batches(lambda t: t.select(["priority", "n", "cents"]),
+                             batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("priority").sum(["n", "cents"]) \
+        .map_batches(lambda t: pa.table({
+            "priority": t.column("priority"),
+            "month": pa.array([None] * t.num_rows, pa.string()),
+            "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_grand(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": pa.array([None], pa.string()),
+            "month": pa.array([None], pa.string()),
+            "n": pa.array([int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()),
+            "cents": pa.array([int(pc.sum(t.column("cents")).as_py() or 0)],
+                              pa.int64()),
+        })
+
+    grand = detail.map_batches(
+        lambda t: t.select(["n", "cents"]), batch_format="pyarrow",
+        zero_copy_batch=True).repartition(1).map_batches(
+        to_grand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "priority": t.column("priority"), "month": t.column("month"),
+            "n": t.column("n"),
+            "total": pa.array(_half_away_round(
+                t.column("cents").to_numpy(zero_copy_only=False) / 100.0, 2)),
+        })
+
+    out = detail.union(sub).union(grand).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True)
+    # Small-report materialization: the rollup is bounded by
+    # (priorities+1) × (months+1) rows, and Ray's sort cannot order the
+    # NULL subtotal markers (None vs str comparison) — order NULLS LAST
+    # driver-side with an explicit schema.
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["priority"] is None, r["priority"] or "",
+                                 r["month"] is None, r["month"] or ""))
+    return pa.table({
+        "priority": pa.array([r["priority"] for r in rows], pa.string()),
+        "month": pa.array([r["month"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "total": pa.array([r["total"] for r in rows], pa.float64()),
+    })
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT priority, month, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
+FROM (SELECT o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+      FROM orders)
+GROUP BY ROLLUP(priority, month)
+ORDER BY priority, month
+"""
+
+
 def _user_part_fn(n_parts: int):
     """Salted-partition column factory — the shared first stage of every
     user-window query (rank / cap / lag)."""
