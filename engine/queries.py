@@ -1116,42 +1116,36 @@ def orders_rollup(sf_dir: str):
             "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
             batch_format="pyarrow", zero_copy_batch=True)
 
-    def to_grand(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "priority": pa.array([None], pa.string()),
-            "month": pa.array([None], pa.string()),
-            "n": pa.array([int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()),
-            "cents": pa.array([int(pc.sum(t.column("cents")).as_py() or 0)],
-                              pa.int64()),
-        })
-
-    grand = detail.map_batches(
-        lambda t: t.select(["n", "cents"]), batch_format="pyarrow",
-        zero_copy_batch=True).repartition(1).map_batches(
-        to_grand, batch_format="pyarrow", zero_copy_batch=True)
-
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
             "priority": t.column("priority"), "month": t.column("month"),
             "n": t.column("n"),
-            "total": pa.array(_half_away_round(
-                t.column("cents").to_numpy(zero_copy_only=False) / 100.0, 2)),
+            "cents": t.column("cents"),
         })
 
-    out = detail.union(sub).union(grand).map_batches(
+    out = detail.union(sub).map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True)
     # Small-report materialization: the rollup is bounded by
     # (priorities+1) × (months+1) rows, and Ray's sort cannot order the
     # NULL subtotal markers (None vs str comparison) — order NULLS LAST
-    # driver-side with an explicit schema.
+    # driver-side with an explicit schema.  The grand-total row is built
+    # here too: SQL ROLLUP emits it even on EMPTY input (one (NULL, NULL,
+    # 0) row), which a map_batches over zero blocks would never produce.
     rows = sorted(out.take_all(),
                   key=lambda r: (r["priority"] is None, r["priority"] or "",
                                  r["month"] is None, r["month"] or ""))
+    detail_rows = [r for r in rows if r["month"] is not None]
+    grand = {"priority": None, "month": None,
+             "n": sum(r["n"] for r in detail_rows),
+             "cents": sum(r["cents"] for r in detail_rows)}
+    rows.append(grand)
     return pa.table({
         "priority": pa.array([r["priority"] for r in rows], pa.string()),
         "month": pa.array([r["month"] for r in rows], pa.string()),
         "n": pa.array([r["n"] for r in rows], pa.int64()),
-        "total": pa.array([r["total"] for r in rows], pa.float64()),
+        # SQL ROUND is half-away-from-zero; Python round() is banker's.
+        "total": pa.array(_half_away_round(
+            np.array([r["cents"] for r in rows], dtype=np.float64) / 100.0, 2)),
     })
 
 

@@ -451,3 +451,22 @@ def test_except_query_finds_planted_nonpurchasers(ray_session, tmp_path):
     both = [r["user_id"]
             for r in users_purchase_and_error(str(tmp_path)).take_all()]
     assert both == [1]
+
+
+def test_orders_rollup_empty_input_emits_grand_row(ray_session, tmp_path):
+    """SQL ROLLUP emits one (NULL, NULL, 0) grand row even on empty input;
+    the engine must match (a map over zero blocks would emit nothing)."""
+    import pyarrow.parquet as pq
+
+    from engine.queries import orders_rollup
+
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array([], pa.string()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_totalprice": pa.array([], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    t = orders_rollup(str(tmp_path))
+    assert t.num_rows == 1
+    assert t.column("priority").to_pylist() == [None]
+    assert t.column("month").to_pylist() == [None]
+    assert t.column("n").to_pylist() == [0]
