@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q.events_moving_avg,
         "events_dow_pivot": q.events_dow_pivot,
         "orders_rollup": q.orders_rollup,
+        "orders_cube": q.orders_cube,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
@@ -1117,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": q.MOVING_AVG_SQL,
         "events_dow_pivot": q.DOW_PIVOT_SQL,
         "orders_rollup": q.ORDERS_ROLLUP_SQL,
+        "orders_cube": q.ORDERS_CUBE_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,

@@ -1076,10 +1076,29 @@ ORDER BY user_id
 """
 
 
-def orders_rollup(sf_dir: str):
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, month): rollup plus the per-month subtotal
+    level — same one-scan shape, one more re-aggregation of the bounded
+    detail table."""
+    return orders_rollup(sf_dir, cube=True)
+
+
+ORDERS_CUBE_SQL = """
+SELECT priority, month, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
+FROM (SELECT o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+      FROM orders)
+GROUP BY CUBE(priority, month)
+ORDER BY priority, month
+"""
+
+
+def orders_rollup(sf_dir: str, cube: bool = False):
     """GROUP BY ROLLUP(priority, month): detail rows + per-priority
-    subtotals + a grand total, NULL-marked exactly like SQL.  One scan
-    produces the (priority, month) partial combine; the two coarser
+    subtotals + a grand total, NULL-marked exactly like SQL (cube=True
+    adds the per-month subtotal level — GROUP BY CUBE).  One scan
+    produces the (priority, month) partial combine; the coarser
     levels re-aggregate the already-tiny detail aggregate (priorities ×
     months rows) — no second pass over orders at any scale."""
     import pandas as pd
@@ -1116,6 +1135,18 @@ def orders_rollup(sf_dir: str):
             "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
             batch_format="pyarrow", zero_copy_batch=True)
 
+    if cube:
+        sub_month = detail.map_batches(
+            lambda t: t.select(["month", "n", "cents"]),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("month").sum(["n", "cents"]) \
+            .map_batches(lambda t: pa.table({
+                "priority": pa.array([None] * t.num_rows, pa.string()),
+                "month": t.column("month"),
+                "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
+                batch_format="pyarrow", zero_copy_batch=True)
+        sub = sub.union(sub_month)
+
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
             "priority": t.column("priority"), "month": t.column("month"),
@@ -1134,7 +1165,8 @@ def orders_rollup(sf_dir: str):
     rows = sorted(out.take_all(),
                   key=lambda r: (r["priority"] is None, r["priority"] or "",
                                  r["month"] is None, r["month"] or ""))
-    detail_rows = [r for r in rows if r["month"] is not None]
+    detail_rows = [r for r in rows
+                   if r["month"] is not None and r["priority"] is not None]
     grand = {"priority": None, "month": None,
              "n": sum(r["n"] for r in detail_rows),
              "cents": sum(r["cents"] for r in detail_rows)}
