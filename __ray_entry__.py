@@ -66,6 +66,26 @@ _CLIPS_TRUTH_PARQUET = _os.path.join(
     "data", "clips_truth_n10000_seed42.parquet")
 
 
+def _ensure_clips_truth() -> str:
+    """The truth parquet is committed (gitignore-exempt), but regenerate it
+    deterministically from the corpus generator if a clone lacks it — the
+    generator is the sole source of truth anyway (tools/make_clips_truth.py)."""
+    if not _os.path.exists(_CLIPS_TRUTH_PARQUET):
+        import pyarrow.parquet as _pq
+
+        from tools.make_clips_truth import clips_truth_table
+        _os.makedirs(_os.path.dirname(_CLIPS_TRUTH_PARQUET), exist_ok=True)
+        tmp = _CLIPS_TRUTH_PARQUET + ".tmp"
+        _pq.write_table(clips_truth_table(10_000, seed=42), tmp)
+        _os.replace(tmp, _CLIPS_TRUTH_PARQUET)
+    return _CLIPS_TRUTH_PARQUET
+
+
+# The oracle SQL strings below embed the path at import time, so the fallback
+# must run at import too (no-op when the committed copy is present).
+_ensure_clips_truth()
+
+
 def _clips_verdicts_vs_planted(sf_dir: str):
     """Hash-oracled FLAGSHIP differential (round-2 VERDICT item 1): the full
     validation pipeline's verdict flags vs the generator's planted-defect
