@@ -270,11 +270,18 @@ def distinct_users_by_type(sf_dir: str):
     """EXACT grouped COUNT DISTINCT — the per-group companion of
     distinct_users_events.  Per-batch (type, user) dedup partials bound
     the first shuffle to distinct pairs per batch; the 2-key groupby
-    dedups globally; the per-type count is a second tiny exchange.  The
+    dedups globally; the per-type count then finalizes as a keyed tree
+    reduction (NOT a second groupby: 5 event types range-partitioned
+    across N blocks leave ~N-5 empty partitions, whose zero-column
+    blocks caused the RefBundle schema warnings in BENCH_r03).  The
+    driver builds the tiny report with an explicit schema, so an empty
+    input still yields a typed empty table matching DuckDB.  The
     approximate per-group path is hll_users_by_type (one HLL sketch per
     group, merged per type), accuracy-gated against this query in tests.
     """
     import pandas as pd
+
+    from engine.stages import keyed_tree_reduce
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
@@ -289,12 +296,20 @@ def distinct_users_by_type(sf_dir: str):
     pairs = ds.map_batches(dedup_partial, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .groupby(["event_type", "user_id"]).count()
-    return pairs.map_batches(lambda t: t.select(["event_type"]),
-                             batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("event_type").count() \
-        .map_batches(lambda t: t.rename_columns(["event_type", "n_users"]),
-                     batch_format="pyarrow", zero_copy_batch=True) \
-        .sort("event_type")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch.column("event_type").to_pandas()).value_counts()
+        return pa.table({"state": pa.array(
+            [json.dumps({str(k): int(v) for k, v in vc.items()})],
+            pa.large_string())})
+
+    merged = keyed_tree_reduce(
+        pairs.map_batches(count_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        lambda a, b: a + b)
+    keys = sorted(merged)
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "n_users": pa.array([merged[k] for k in keys], pa.int64())})
 
 
 DISTINCT_BY_TYPE_SQL = """
@@ -305,42 +320,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def hll_users_by_type(sf_dir: str):
     """Approximate per-group distinct users: one HLL per (batch, type)
-    partial, merged per type with a bounded-cardinality groupby (event
-    types are a handful — per-key map_groups dispatch is fine HERE,
-    unlike user-keyed groupbys).  Scale shape: the shuffle carries only
-    16 KB register blobs per (batch, type), never user ids."""
-    import json as _json
+    partial, merged per type with a keyed tree reduction (no groupby at
+    all — a 5-key groupby range-partitions into mostly-empty partitions,
+    the BENCH_r03 RefBundle-schema-warning source; the tree moves only
+    ``types x fan-in`` 16 KB register blobs per round and never user
+    ids).  Driver builds the report with an explicit schema, so an
+    empty input still yields a typed empty table."""
+    import pandas as pd
 
     from engine.checks.sketches import HyperLogLog
+    from engine.stages import keyed_tree_reduce
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         types = batch.column("event_type").to_pandas()
         users = batch.column("user_id").to_numpy()
-        out_t, out_s = [], []
+        states = {}
         for t, idx in pd.Series(users).groupby(types).indices.items():
             h = HyperLogLog()
             h.update(users[idx])
-            out_t.append(t)
-            out_s.append(_json.dumps(h.state()))
-        return pa.table({"event_type": pa.array(out_t, pa.string()),
-                         "state": pa.array(out_s, pa.large_string())})
+            states[str(t)] = h.state()
+        return pa.table({"state": pa.array([json.dumps(states)],
+                                           pa.large_string())})
 
-    def merge_type(group: pa.Table) -> pa.Table:
-        merged = HyperLogLog()
-        for s in group.column("state").to_pylist():
-            merged.merge(HyperLogLog.from_state(_json.loads(s)))
-        return pa.table({
-            "event_type": group.column("event_type").slice(0, 1),
-            "n_users_est": pa.array([int(round(merged.estimate()))], pa.int64()),
-        })
+    def merge_pair(a: dict, b: dict) -> dict:
+        h = HyperLogLog.from_state(a)
+        h.merge(HyperLogLog.from_state(b))
+        return h.state()
 
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("event_type").map_groups(merge_type, batch_format="pyarrow") \
-        .sort("event_type")
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge_pair)
+    keys = sorted(merged)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_users_est": pa.array(
+            [int(round(HyperLogLog.from_state(merged[k]).estimate()))
+             for k in keys], pa.int64()),
+    })
 
 
 # -------------------------------------------------------------- referential

@@ -624,6 +624,35 @@ def tree_reduce_states(states_ds, combine, *, state_col: str = "state",
     return combine(final) if final else None
 
 
+def keyed_tree_reduce(partials_ds, combine_pair, *, fan_in: int = 64,
+                      driver_threshold: int = 256):
+    """Per-key bounded tree reduction over JSON-dict partial rows.
+
+    Each row of ``partials_ds`` (column ``state``) is a JSON object mapping
+    group key -> associative sub-state; ``combine_pair(a, b)`` merges two
+    sub-states for the same key.  Returns ``{key: merged_state}`` ({} for an
+    empty input).
+
+    This is the scale-correct finalize for LOW-cardinality grouped reports:
+    a ``groupby`` on a handful of keys range-partitions into mostly-EMPTY
+    partitions, and Ray's Aggregate emits those as zero-column blocks that
+    poison downstream schemas (the streaming_executor_state.py:793 RefBundle
+    warnings in BENCH_r03).  A keyed tree reduction moves only
+    ``keys x fan-in`` JSON rows per round, keeps driver intake bounded by
+    ``driver_threshold``, and lets the caller build the tiny report with an
+    explicit Arrow schema."""
+    def combine(states: list[dict]) -> dict:
+        out: dict = {}
+        for st in states:
+            for k, v in st.items():
+                out[k] = v if k not in out else combine_pair(out[k], v)
+        return out
+
+    state = tree_reduce_states(partials_ds, combine, fan_in=fan_in,
+                               driver_threshold=driver_threshold)
+    return state if state is not None else {}
+
+
 def shuffle_partitions(n_rows: int, *, rows_per_partition: int = 2_000_000,
                        cpus: int | None = None) -> int:
     """Input-size-derived shuffle width (round-1 VERDICT finding: a hard

@@ -389,9 +389,9 @@ def test_hll_by_type_tracks_exact(ray_session):
     from engine.queries import distinct_users_by_type, hll_users_by_type
 
     exact = {r["event_type"]: r["n_users"]
-             for r in distinct_users_by_type(SF_DIR).take_all()}
+             for r in distinct_users_by_type(SF_DIR).to_pylist()}
     est = {r["event_type"]: r["n_users_est"]
-           for r in hll_users_by_type(SF_DIR).take_all()}
+           for r in hll_users_by_type(SF_DIR).to_pylist()}
     assert set(exact) == set(est) and len(exact) >= 3
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(2, 0.02 * n), (t, n, est[t])
