@@ -71,7 +71,7 @@ def q1_pricing_summary(sf_dir: str):
                 batch.column("l_extendedprice").to_numpy()
                 * (1.0 - batch.column("l_discount").to_numpy())),
         })
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False).agg(
             sum_qty=("qty", "sum"), sum_price_c=("price_c", "sum"),
             sum_disc_c=("disc_c", "sum"), cnt=("qty", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -656,13 +656,33 @@ def jsonl_repair_events(sf_dir: str):
                 obj = json.loads(line)
             except (json.JSONDecodeError, TypeError, ValueError):
                 obj = tolerant_loads(line, skip_json_loads=True)
-            eids.append(int(obj["event_id"]))
-            props = obj.get("props")
+            # NULL-on-invalid, mirroring SQL json_extract: a repair that
+            # yields a non-dict, a missing/non-int event_id, or null props
+            # becomes a NULL cell, never a worker-killing raise (round-3
+            # ADVICE).
+            if not isinstance(obj, dict):
+                eids.append(None)
+                ks.append(None)
+                continue
             try:
-                v = json.loads(props)
-            except (json.JSONDecodeError, TypeError, ValueError):
-                v = tolerant_loads(props, skip_json_loads=True)
-            ks.append(int(v["k"]) if isinstance(v, dict) and "k" in v else None)
+                eids.append(int(obj["event_id"]))
+            except (KeyError, TypeError, ValueError):
+                eids.append(None)
+            props = obj.get("props")
+            v = None
+            if props is not None:
+                try:
+                    v = json.loads(props)
+                except (json.JSONDecodeError, TypeError, ValueError):
+                    try:
+                        v = tolerant_loads(props, skip_json_loads=True)
+                    except ValueError:
+                        v = None
+            try:
+                ks.append(int(v["k"]) if isinstance(v, dict) and "k" in v
+                          else None)
+            except (TypeError, ValueError):
+                ks.append(None)
         return pa.table({"event_id": pa.array(eids, pa.int64()),
                          "k": pa.array(ks, pa.int64())})
 
@@ -788,7 +808,7 @@ def _events_daily_agg(ds):
             "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
             "value_c": _half_away_cents(batch.column("value").to_numpy(), 10000.0),
         })
-        g = df.groupby(["event_type", "day"], as_index=False).agg(
+        g = df.groupby(["event_type", "day"], as_index=False, dropna=False).agg(
             n=("value_c", "size"), sum_c=("value_c", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -831,16 +851,30 @@ def _query_vector(sf_dir: str):
 
 
 @functools.lru_cache(maxsize=8)
+def _ivf_centroids_cached(sf_dir: str, source_token: str, n_cells: int,
+                          train_sample: int):
+    from engine.ops.similarity import train_ivf_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    arr = train_ivf_centroids(ds, n_cells=n_cells, train_sample=train_sample)
+    # Shared across callers via the cache: freeze so a caller mutation can't
+    # poison later queries (round-3 ADVICE).
+    arr.flags.writeable = False
+    return arr
+
+
 def ivf_centroids_for(sf_dir: str, n_cells: int = 64, train_sample: int = 4096):
     """IVF coarse-quantizer centroids, trained ONCE per (corpus, params) and
     reused across query invocations — a repeated-query workload must not pay
     the bounded-sample ``limit().take_all()`` every call (round-2 VERDICT
     item 6; same pattern as the cached query vector / Bloom states).
-    Callers treat the returned array as read-only."""
-    from engine.ops.similarity import train_ivf_centroids
 
-    ds = _read(sf_dir, "embeddings", columns=["embedding"])
-    return train_ivf_centroids(ds, n_cells=n_cells, train_sample=train_sample)
+    The cache key includes the corpus staleness token (mtime+size of the
+    embeddings parquet), so a regenerated corpus at the same path gets fresh
+    centroids; the returned array is frozen (read-only)."""
+    return _ivf_centroids_cached(
+        sf_dir, _source_token(f"{sf_dir}/embeddings.parquet"),
+        n_cells, train_sample)
 
 
 def knn_cosine_top10(sf_dir: str):
@@ -1131,7 +1165,7 @@ def orders_rollup(sf_dir: str, cube: bool = False):
                                  format="%Y-%m").to_pandas(),
             "cents": _half_away_cents(batch.column("o_totalprice").to_numpy()),
         })
-        g = df.groupby(["priority", "month"], as_index=False).agg(
+        g = df.groupby(["priority", "month"], as_index=False, dropna=False).agg(
             n=("cents", "size"), cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -1251,7 +1285,7 @@ def events_moving_avg(sf_dir: str, window: int = 7):
             "event_type": batch.column("event_type").to_pandas(),
             "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
         })
-        g = df.groupby(["event_type", "day"], as_index=False).size()
+        g = df.groupby(["event_type", "day"], as_index=False, dropna=False).size()
         return pa.table({"event_type": pa.array(g["event_type"], pa.string()),
                          "day": pa.array(g["day"], pa.string()),
                          "n": pa.array(g["size"].to_numpy().astype(np.int64))})
@@ -1664,7 +1698,7 @@ def long_tail_documents(sf_dir: str, pct_num: int = 9, pct_den: int = 10):
             "lang": batch.column("lang").to_pandas(),
             "n_chars": batch.column("n_chars").to_numpy(),
         })
-        g = df.groupby(["lang", "n_chars"], sort=False, observed=True) \
+        g = df.groupby(["lang", "n_chars"], sort=False, observed=True, dropna=False) \
               .size().reset_index(name="cnt")
         return pa.table({"lang": pa.array(g["lang"], pa.string()),
                          "n_chars": pa.array(g["n_chars"], pa.int64()),
@@ -1922,7 +1956,7 @@ def revenue_by_segment_day(sf_dir: str):
             "rev_c": batch.column("rev_c").to_numpy(),
             "n_items": batch.column("n_items").to_numpy(),
         })
-        g = df.groupby(["segment", "month"], as_index=False).agg(
+        g = df.groupby(["segment", "month"], as_index=False, dropna=False).agg(
             n=("n_items", "sum"), rev_c=("rev_c", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -2125,7 +2159,7 @@ def users_purchase_and_error(sf_dir: str):
             "p": (types == "purchase").to_numpy().astype(np.int64),
             "e": (types == "error").to_numpy().astype(np.int64),
         })
-        g = df.groupby("user_id", as_index=False).agg(p=("p", "max"), e=("e", "max"))
+        g = df.groupby("user_id", as_index=False, dropna=False).agg(p=("p", "max"), e=("e", "max"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
@@ -2360,7 +2394,7 @@ def events_hopping_window(sf_dir: str):
                 "value_c": cents,
             }))
         df = pd.concat(frames, ignore_index=True)
-        g = df.groupby(["ws_us", "event_type"], as_index=False).agg(
+        g = df.groupby(["ws_us", "event_type"], as_index=False, dropna=False).agg(
             n=("value_c", "size"), sum_c=("value_c", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 

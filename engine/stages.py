@@ -521,7 +521,7 @@ def exact_group_quantiles(ds, key: str, value_col: str,
             "k": batch.column(key).to_pandas(),
             "v": batch.column(value_col).to_numpy().astype(np.float64),
         })
-        g = df.groupby(["k", "v"], sort=False, observed=True).size().reset_index(name="cnt")
+        g = df.groupby(["k", "v"], sort=False, observed=True, dropna=False).size().reset_index(name="cnt")
         return pa.table({key: pa.array(g["k"], pa.string()),
                          value_col: pa.array(g["v"], pa.float64()),
                          "cnt": pa.array(g["cnt"], pa.int64())})

@@ -421,6 +421,29 @@ def test_jsonl_repair_recovers_planted_malformations(ray_session):
         == [(r["event_id"], r["k"]) for r in want]
 
 
+def test_jsonl_parse_null_on_invalid(ray_session, tmp_path, monkeypatch):
+    """Lines whose repair yields a non-dict, a missing/garbage event_id, or
+    null props must become NULL cells (json_extract semantics), never a
+    worker-killing raise (round-3 ADVICE)."""
+    from engine import queries as q
+
+    path = tmp_path / "events.jsonl"
+    path.write_text("\n".join([
+        '{"event_id": 1, "props": "{\\"k\\": 7}"}',   # clean
+        '[1, 2, 3',                                    # repairs to a list
+        '{"event_id": 2, "props": null}',              # null props
+        '{"props": "{\\"k\\": 9}"}',                   # missing event_id
+        '{"event_id": "zap", "props": "{\\"k\\": 1}"}',  # garbage id
+        '{"event_id": 3, "props": "{\\"k\\": \\"x\\"}"}',  # non-int k
+    ]) + "\n", encoding="utf-8")
+    monkeypatch.setattr(q, "_events_jsonl_cache", lambda sf: str(path))
+    rows = q.jsonl_repair_events(SF_DIR).take_all()
+    got = sorted(((r["event_id"], r["k"]) for r in rows),
+                 key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0))
+    assert got == [(1, 7), (2, None), (3, None),
+                   (None, 1), (None, 9), (None, None)]
+
+
 def test_revenue_by_brand_gate_paths_agree(ray_session, monkeypatch):
     """Broadcast and join paths of the part-dimension revenue query must
     produce identical results (same gate contract as the segment joins)."""
