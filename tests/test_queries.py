@@ -444,6 +444,38 @@ def test_jsonl_parse_null_on_invalid(ray_session, tmp_path, monkeypatch):
                    (None, 1), (None, 9), (None, None)]
 
 
+def test_orphan_orders_all_orphan_stays_streaming(ray_session, tmp_path,
+                                                  monkeypatch):
+    """Adversarial input — the customer dimension is LOST, so 100% of orders
+    are orphans.  Above the driver cap the report must come back as a
+    streaming Dataset (blocks stay in the spillable object store), not a
+    driver-side take_all of the whole fact table; under the cap it stays a
+    typed pyarrow Table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine import queries as q
+
+    n = 500
+    pq.write_table(pa.table({"c_custkey": pa.array([], pa.int64())}),
+                   tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array([i % 37 for i in range(n)], pa.int64()),
+    }), tmp_path / "orders.parquet")
+
+    monkeypatch.setattr(q, "ORPHAN_REPORT_DRIVER_CAP", 100)
+    out = q.orphan_orders(str(tmp_path))
+    assert isinstance(out, ray.data.Dataset), "above-cap report must stream"
+    assert out.count() == n
+
+    monkeypatch.setattr(q, "ORPHAN_REPORT_DRIVER_CAP", 10_000)
+    out = q.orphan_orders(str(tmp_path))
+    assert isinstance(out, pa.Table) and out.num_rows == n
+    assert out.column("o_orderkey").to_pylist() == list(range(n))
+
+
 def test_revenue_by_brand_gate_paths_agree(ray_session, monkeypatch):
     """Broadcast and join paths of the part-dimension revenue query must
     produce identical results (same gate contract as the segment joins)."""
