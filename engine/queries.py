@@ -647,6 +647,48 @@ def _events_jsonl_cache(sf_dir: str) -> str:
     return path
 
 
+def _repair_parse_lines(batch: pa.Table) -> pa.Table:
+    """Shared line kernel of the JSONL / gzip-JSONL text sources: tolerant-
+    parse each line, then parse the nested props JSON for $.k."""
+    from engine.repair.api import loads as tolerant_loads
+
+    eids, ks = [], []
+    for line in batch.column("text").to_pylist():
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, TypeError, ValueError):
+            obj = tolerant_loads(line, skip_json_loads=True)
+        # NULL-on-invalid, mirroring SQL json_extract: a repair that
+        # yields a non-dict, a missing/non-int event_id, or null props
+        # becomes a NULL cell, never a worker-killing raise (round-3
+        # ADVICE).
+        if not isinstance(obj, dict):
+            eids.append(None)
+            ks.append(None)
+            continue
+        try:
+            eids.append(int(obj["event_id"]))
+        except (KeyError, TypeError, ValueError):
+            eids.append(None)
+        props = obj.get("props")
+        v = None
+        if props is not None:
+            try:
+                v = json.loads(props)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                try:
+                    v = tolerant_loads(props, skip_json_loads=True)
+                except ValueError:
+                    v = None
+        try:
+            ks.append(int(v["k"]) if isinstance(v, dict) and "k" in v
+                      else None)
+        except (TypeError, ValueError):
+            ks.append(None)
+    return pa.table({"event_id": pa.array(eids, pa.int64()),
+                     "k": pa.array(ks, pa.int64())})
+
+
 def jsonl_repair_events(sf_dir: str):
     """TEXT SOURCE + repair: the events table serialized as JSONL (with
     planted malformations — see _events_jsonl_cache), read back with
@@ -657,49 +699,67 @@ def jsonl_repair_events(sf_dir: str):
     any line exactly would hash-mismatch."""
     import ray.data
 
-    from engine.repair.api import loads as tolerant_loads
+    return ray.data.read_text(_events_jsonl_cache(sf_dir)).map_batches(
+        _repair_parse_lines, batch_format="pyarrow",
+        zero_copy_batch=True).sort("event_id")
 
-    path = _events_jsonl_cache(sf_dir)
 
-    def parse(batch: pa.Table) -> pa.Table:
-        eids, ks = [], []
-        for line in batch.column("text").to_pylist():
-            try:
-                obj = json.loads(line)
-            except (json.JSONDecodeError, TypeError, ValueError):
-                obj = tolerant_loads(line, skip_json_loads=True)
-            # NULL-on-invalid, mirroring SQL json_extract: a repair that
-            # yields a non-dict, a missing/non-int event_id, or null props
-            # becomes a NULL cell, never a worker-killing raise (round-3
-            # ADVICE).
-            if not isinstance(obj, dict):
-                eids.append(None)
-                ks.append(None)
-                continue
-            try:
-                eids.append(int(obj["event_id"]))
-            except (KeyError, TypeError, ValueError):
-                eids.append(None)
-            props = obj.get("props")
-            v = None
-            if props is not None:
-                try:
-                    v = json.loads(props)
-                except (json.JSONDecodeError, TypeError, ValueError):
-                    try:
-                        v = tolerant_loads(props, skip_json_loads=True)
-                    except ValueError:
-                        v = None
-            try:
-                ks.append(int(v["k"]) if isinstance(v, dict) and "k" in v
-                          else None)
-            except (TypeError, ValueError):
-                ks.append(None)
-        return pa.table({"event_id": pa.array(eids, pa.int64()),
-                         "k": pa.array(ks, pa.int64())})
+_JSONL_GZ_SHARDS = 8
 
-    return ray.data.read_text(path).map_batches(
-        parse, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
+
+def _events_jsonl_gz_cache(sf_dir: str) -> str:
+    """Gzip-sharded form of the JSONL text source (real 100-TB corpora ship
+    compressed shards, never plain text).  gzip is NOT splittable, so read
+    parallelism equals shard count — the cache writes _JSONL_GZ_SHARDS
+    contiguous-chunk shards, which is exactly how a production corpus keeps
+    N-way parallelism per node.  Atomic publish via tmp-dir rename (same
+    race discipline as the plaintext cache)."""
+    import gzip
+    import os
+    import shutil
+
+    src = _events_jsonl_cache(sf_dir)
+    path = src[: -len(".jsonl")] + "_gz"
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        with open(src, encoding="utf-8") as f:
+            lines = f.readlines()
+        per = max(1, -(-len(lines) // _JSONL_GZ_SHARDS))
+        for i in range(0, _JSONL_GZ_SHARDS):
+            chunk = lines[i * per:(i + 1) * per]
+            if not chunk and i:
+                break
+            with gzip.open(os.path.join(tmp, f"shard-{i:03d}.jsonl.gz"),
+                           "wt", encoding="utf-8", compresslevel=1) as g:
+                g.writelines(chunk)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            pass  # lost the publish race; the winner's copy is identical
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def jsonl_gz_repair_events(sf_dir: str):
+    """COMPRESSED TEXT SOURCE + repair: the same planted-malformation JSONL
+    corpus as jsonl_repair_events, but gzip-sharded and decompressed
+    STREAMING inside the read tasks (arrow_open_stream_args — no driver
+    staging, no whole-file inflate).  Shares the line kernel and the
+    parquet-ground-truth oracle, so a decompression or repair divergence
+    hash-mismatches."""
+    import ray.data
+
+    path = _events_jsonl_gz_cache(sf_dir)
+    return ray.data.read_text(
+        path, file_extensions=["gz"],
+        arrow_open_stream_args={"compression": "gzip"}).map_batches(
+        _repair_parse_lines, batch_format="pyarrow",
+        zero_copy_batch=True).sort("event_id")
 
 
 # ------------------------------------------------------------- text analysis

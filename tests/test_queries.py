@@ -421,6 +421,22 @@ def test_jsonl_repair_recovers_planted_malformations(ray_session):
         == [(r["event_id"], r["k"]) for r in want]
 
 
+def test_jsonl_gz_source_matches_plaintext(ray_session):
+    """The gzip-sharded source must decompress-stream to exactly the same
+    rows as the plaintext JSONL path, from genuinely multiple shards."""
+    import os
+
+    from engine.queries import (_events_jsonl_gz_cache, jsonl_gz_repair_events,
+                                jsonl_repair_events)
+
+    d = _events_jsonl_gz_cache(SF_DIR)
+    shards = [f for f in os.listdir(d) if f.endswith(".jsonl.gz")]
+    assert len(shards) > 1, "parallelism comes from shard count"
+    got = [(r["event_id"], r["k"]) for r in jsonl_gz_repair_events(SF_DIR).take_all()]
+    want = [(r["event_id"], r["k"]) for r in jsonl_repair_events(SF_DIR).take_all()]
+    assert got == want
+
+
 def test_jsonl_parse_null_on_invalid(ray_session, tmp_path, monkeypatch):
     """Lines whose repair yields a non-dict, a missing/garbage event_id, or
     null props must become NULL cells (json_extract semantics), never a
