@@ -1062,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_pivot": q.events_dow_pivot,
         "orders_rollup": q.orders_rollup,
         "orders_cube": q.orders_cube,
+        "orders_grouping_sets": q.orders_grouping_sets,
         "purchase_attribution": q.purchase_attribution,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
@@ -1141,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dow_pivot": q.DOW_PIVOT_SQL,
         "orders_rollup": q.ORDERS_ROLLUP_SQL,
         "orders_cube": q.ORDERS_CUBE_SQL,
+        "orders_grouping_sets": q.ORDERS_GROUPING_SETS_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,

@@ -1219,13 +1219,35 @@ ORDER BY priority, month
 
 
 def orders_rollup(sf_dir: str, cube: bool = False):
-    """GROUP BY ROLLUP(priority, month): detail rows + per-priority
-    subtotals + a grand total, NULL-marked exactly like SQL (cube=True
-    adds the per-month subtotal level — GROUP BY CUBE).  One scan
-    produces the (priority, month) partial combine; the coarser
-    levels re-aggregate the already-tiny detail aggregate (priorities ×
-    months rows) — no second pass over orders at any scale."""
+    """GROUP BY ROLLUP(priority, month) — a grouping_sets() specialization
+    (sets: detail, per-priority, grand; cube=True adds per-month)."""
+    sets = [("priority", "month"), ("priority",), ()]
+    if cube:
+        sets.insert(2, ("month",))
+    return grouping_sets(sf_dir, sets)
+
+
+GROUPING_KEYS = ("priority", "month")
+
+
+def grouping_sets(sf_dir: str, sets: list[tuple[str, ...]]):
+    """GROUP BY GROUPING SETS over (priority, month): one distributed scan
+    builds the finest-grain detail aggregate (per-batch partial combine ->
+    one groupby over partial rows), then EVERY requested level re-aggregates
+    that bounded detail table (priorities x months rows) driver-side — no
+    second pass over orders at any scale, no Ray groupby over a
+    low-cardinality key (the empty-partition RefBundle hazard), and the
+    NULL level markers order NULLS LAST exactly like the DuckDB oracle
+    (Ray's sort cannot compare None vs str).
+
+    Duplicate sets emit duplicate rows and the empty set emits its row even
+    on EMPTY input — both exactly SQL GROUPING SETS semantics (gated by
+    tests on the rollup specialization).
+    """
     import pandas as pd
+
+    for s in sets:
+        assert set(s) <= set(GROUPING_KEYS), s
 
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate",
                                           "o_totalprice"])
@@ -1243,66 +1265,54 @@ def orders_rollup(sf_dir: str, cube: bool = False):
 
     detail = ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True) \
-        .groupby(["priority", "month"]).sum(["n", "cents"]) \
-        .map_batches(lambda t: pa.table({
-            "priority": t.column("priority"), "month": t.column("month"),
-            "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
-            batch_format="pyarrow", zero_copy_batch=True) \
-        .materialize()     # bounded: priorities × months; re-read 3x below
+        .groupby(["priority", "month"]).sum(["n", "cents"])
+    # Bounded driver intake: priorities x months rows.
+    rows = [{"priority": r["priority"], "month": r["month"],
+             "n": r["sum(n)"], "cents": r["sum(cents)"]}
+            for r in detail.take_all()]
 
-    sub = detail.map_batches(lambda t: t.select(["priority", "n", "cents"]),
-                             batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("priority").sum(["n", "cents"]) \
-        .map_batches(lambda t: pa.table({
-            "priority": t.column("priority"),
-            "month": pa.array([None] * t.num_rows, pa.string()),
-            "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
-            batch_format="pyarrow", zero_copy_batch=True)
+    out: list[dict] = []
+    for s in sets:
+        agg: dict[tuple, list] = {}
+        for r in rows:
+            k = tuple(r[c] if c in s else None for c in GROUPING_KEYS)
+            a = agg.setdefault(k, [0, 0])
+            a[0] += r["n"]
+            a[1] += r["cents"]
+        if not s:
+            # SQL emits the grand row even for zero input rows.
+            agg.setdefault((None, None), [0, 0])
+        out.extend({"priority": k[0], "month": k[1], "n": a[0], "cents": a[1]}
+                   for k, a in agg.items())
 
-    if cube:
-        sub_month = detail.map_batches(
-            lambda t: t.select(["month", "n", "cents"]),
-            batch_format="pyarrow", zero_copy_batch=True) \
-            .groupby("month").sum(["n", "cents"]) \
-            .map_batches(lambda t: pa.table({
-                "priority": pa.array([None] * t.num_rows, pa.string()),
-                "month": t.column("month"),
-                "n": t.column("sum(n)"), "cents": t.column("sum(cents)")}),
-                batch_format="pyarrow", zero_copy_batch=True)
-        sub = sub.union(sub_month)
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "priority": t.column("priority"), "month": t.column("month"),
-            "n": t.column("n"),
-            "cents": t.column("cents"),
-        })
-
-    out = detail.union(sub).map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True)
-    # Small-report materialization: the rollup is bounded by
-    # (priorities+1) × (months+1) rows, and Ray's sort cannot order the
-    # NULL subtotal markers (None vs str comparison) — order NULLS LAST
-    # driver-side with an explicit schema.  The grand-total row is built
-    # here too: SQL ROLLUP emits it even on EMPTY input (one (NULL, NULL,
-    # 0) row), which a map_batches over zero blocks would never produce.
-    rows = sorted(out.take_all(),
-                  key=lambda r: (r["priority"] is None, r["priority"] or "",
-                                 r["month"] is None, r["month"] or ""))
-    detail_rows = [r for r in rows
-                   if r["month"] is not None and r["priority"] is not None]
-    grand = {"priority": None, "month": None,
-             "n": sum(r["n"] for r in detail_rows),
-             "cents": sum(r["cents"] for r in detail_rows)}
-    rows.append(grand)
+    out.sort(key=lambda r: (r["priority"] is None, r["priority"] or "",
+                            r["month"] is None, r["month"] or ""))
     return pa.table({
-        "priority": pa.array([r["priority"] for r in rows], pa.string()),
-        "month": pa.array([r["month"] for r in rows], pa.string()),
-        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "priority": pa.array([r["priority"] for r in out], pa.string()),
+        "month": pa.array([r["month"] for r in out], pa.string()),
+        "n": pa.array([r["n"] for r in out], pa.int64()),
         # SQL ROUND is half-away-from-zero; Python round() is banker's.
         "total": pa.array(_half_away_round(
-            np.array([r["cents"] for r in rows], dtype=np.float64) / 100.0, 2)),
+            np.array([r["cents"] for r in out], dtype=np.float64) / 100.0, 2)),
     })
+
+
+def orders_grouping_sets(sf_dir: str):
+    """Mixed GROUPING SETS ((priority, month), (month), ()) — detail rows,
+    per-month subtotals, grand total; deliberately NOT a rollup or cube so
+    the generalized kernel is oracled in its own right."""
+    return grouping_sets(sf_dir, [("priority", "month"), ("month",), ()])
+
+
+ORDERS_GROUPING_SETS_SQL = """
+SELECT priority, month, COUNT(*) AS n,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
+FROM (SELECT o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+      FROM orders)
+GROUP BY GROUPING SETS ((priority, month), (month), ())
+ORDER BY priority, month
+"""
 
 
 ORDERS_ROLLUP_SQL = """
