@@ -1064,6 +1064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": q.orders_cube,
         "orders_grouping_sets": q.orders_grouping_sets,
         "purchase_attribution": q.purchase_attribution,
+        "purchase_attribution_forward": q.purchase_attribution_forward,
+        "purchase_attribution_nearest": q.purchase_attribution_nearest,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
         "supplier_stats_by_region": q.supplier_stats_by_region,
@@ -1144,6 +1146,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": q.ORDERS_CUBE_SQL,
         "orders_grouping_sets": q.ORDERS_GROUPING_SETS_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
+        "purchase_attribution_forward": q.PURCHASE_ATTRIBUTION_FWD_SQL,
+        "purchase_attribution_nearest": q.PURCHASE_ATTRIBUTION_NEAREST_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,
         "supplier_stats_by_region": q.SUPPLIER_REGION_SQL,

@@ -1622,14 +1622,17 @@ SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
 """
 
 
-def purchase_attribution(sf_dir: str):
-    """As-of join (backward): each purchase event attributed to the same
-    user's most recent preceding click — the asof-join operator the Dataset
-    API lacks, built from a co-partitioned tagged union + one vectorized
-    last-seen scan per partition (engine/stages.py:asof_join_backward).
-    Gap emitted as exact integer microseconds so the row hashes against
-    DuckDB's ASOF LEFT JOIN."""
-    from engine.stages import asof_join_backward
+def purchase_attribution(sf_dir: str, direction: str = "backward"):
+    """As-of join: each purchase event attributed to the same user's
+    closest click — "backward" (most recent preceding, the classic
+    attribution), "forward" (next following), or "nearest" — the asof-join
+    operator the Dataset API lacks, built from a co-partitioned tagged
+    union + one vectorized last-seen scan per partition
+    (engine/stages.py:asof_join; forward is the same kernel on the negated
+    ordering column).  Gap emitted as exact signed integer microseconds
+    (purchase minus click) so the row hashes against DuckDB's ASOF LEFT
+    JOIN (backward/forward) or a LATERAL nearest-row oracle."""
+    from engine.stages import asof_join
 
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
@@ -1641,10 +1644,10 @@ def purchase_attribution(sf_dir: str):
     purchases = only("purchase")
     clicks = only("click")
 
-    joined = asof_join_backward(
+    joined = asof_join(
         purchases, clicks, by="user_id", on="ts",
         left_cols=["event_id", "user_id", "ts"],
-        right_cols=["event_id", "ts"])
+        right_cols=["event_id", "ts"], direction=direction)
 
     def finalize(t: pa.Table) -> pa.Table:
         lt = t.column("ts").to_numpy(zero_copy_only=False) \
@@ -1676,6 +1679,44 @@ SELECT p.event_id, p.user_id,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+def purchase_attribution_forward(sf_dir: str):
+    """Forward as-of: the next click at/after each purchase."""
+    return purchase_attribution(sf_dir, direction="forward")
+
+
+PURCHASE_ATTRIBUTION_FWD_SQL = """
+SELECT p.event_id, p.user_id,
+       c.event_id AS click_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts >= p.ts
+ORDER BY p.event_id
+"""
+
+
+def purchase_attribution_nearest(sf_dir: str):
+    """Nearest as-of: the click closest in time to each purchase (an
+    exact-distance tie resolves to the earlier click)."""
+    return purchase_attribution(sf_dir, direction="nearest")
+
+
+PURCHASE_ATTRIBUTION_NEAREST_SQL = """
+SELECT p.event_id, p.user_id,
+       c.event_id AS click_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+    SELECT event_id, ts
+    FROM events
+    WHERE event_type = 'click' AND user_id = p.user_id
+    ORDER BY ABS(epoch_us(ts) - epoch_us(p.ts)), ts
+    LIMIT 1
+) c ON TRUE
 ORDER BY p.event_id
 """
 

@@ -373,3 +373,47 @@ def test_asof_join_backward(ray_session):
     assert out[12]["rid"] is None        # right t=20 > left t=10: no match
     assert out[13]["rid"] is None        # uid 3 has no right rows at all
     assert out[10]["t_r"] == 100 and out[11]["t_r"] == 40
+
+
+def test_asof_join_directions_match_pandas(ray_session):
+    """forward/nearest/backward against pandas merge_asof on a randomized
+    corpus (200 left x 300 right rows, 8 keys, duplicate timestamps,
+    keyless rows) across many blocks — the same property pandas defines:
+    nearest ties resolve backward (earlier right row)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import asof_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "uid": rng.integers(0, 8, 200),
+        "t": rng.integers(0, 400, 200),
+        "lid": np.arange(200),
+    })
+    right = pd.DataFrame({
+        "uid": rng.integers(0, 6, 300),   # uids 6,7 unmatched on purpose
+        "t": rng.integers(0, 400, 300),
+        "rid": np.arange(300),
+    })
+    # merge_asof is ambiguous when several right rows share (uid, t): keep
+    # one per (uid, t) so the expected match is well-defined on both sides.
+    right = right.drop_duplicates(["uid", "t"]).reset_index(drop=True)
+
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {r["lid"]: r["rid"] for r in asof_join(
+            lds, rds, by="uid", on="t", left_cols=["lid", "uid", "t"],
+            right_cols=["rid"], num_partitions=4,
+            direction=direction).take_all()}
+        want_df = pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("t", kind="stable"),
+            on="t", by="uid", direction=direction)
+        want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in want_df.itertuples()}
+        assert got == want, direction
