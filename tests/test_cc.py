@@ -91,6 +91,34 @@ def test_connected_components_distributed_matches_driver(ray_session):
     assert got == _reference_components(edges)
 
 
+def test_connected_components_gate_boundary_paths_agree(ray_session):
+    """Property coverage for the >gate code path (round-3 VERDICT item 10):
+    on a randomized graph (random blob + a long chain + isolated pairs),
+    the distributed min-label path must produce EXACTLY the driver
+    pointer-jumping labels, exercised at the precise gate boundary —
+    edge_count == gate stays on the driver path, gate-1 forces the
+    distributed one; both must agree with the pure-python reference."""
+    import ray.data
+
+    rng = np.random.default_rng(41)
+    edges = [(int(x), int(y))
+             for x, y in rng.integers(0, 120, size=(250, 2)) if x != y]
+    edges += [(i, i + 1) for i in range(2000, 2010)]    # 10-hop chain
+    edges += [(7000, 7001), (8000, 8001)]               # isolated pairs
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64())}))
+    n = len(edges)
+    want = _reference_components(edges)
+
+    driver_rows = connected_components(ds, max_driver_edges=n).take_all()
+    assert {r["doc_id"]: r["cluster_id"] for r in driver_rows} == want
+
+    dist_rows = connected_components(ds, max_driver_edges=n - 1,
+                                     num_partitions=4, max_rounds=32).take_all()
+    assert {r["doc_id"]: r["cluster_id"] for r in dist_rows} == want
+
+
 def test_connected_components_empty_and_selfloop_only(ray_session):
     import ray.data
 
