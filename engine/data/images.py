@@ -52,6 +52,45 @@ def synth_image_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
     })
 
 
+PNG_CLASSES = ("gray", "rgb", "palette", "rgba")
+
+
+def synth_png(i: int) -> bytes:
+    """PNG for image id i: gradient v = (x + 2y + i) % 256, color class
+    i % 4 (gray / RGB / palette-that-decodes-to-the-RGB-gradient / RGBA
+    with an ignored alpha plane), scanline filter i % 5 — the corpus
+    exercises every decoder unfilter path and every supported color type."""
+    from engine.image import encode_png, encode_png_palette
+
+    w, h = image_dims(i)
+    y, x = np.mgrid[0:h, 0:w]
+    v = ((x + 2 * y + i) % 256).astype(np.uint8)
+    cls = PNG_CLASSES[i % 4]
+    f = i % 5
+    if cls == "gray":
+        return encode_png(v, filter_type=f)
+    if cls == "palette":
+        # palette[j] = (j, j+85, j+170) mod 256: decodes to the RGB gradient
+        j = np.arange(256, dtype=np.uint16)
+        pal = np.stack([j % 256, (j + 85) % 256, (j + 170) % 256],
+                       axis=1).astype(np.uint8)
+        return encode_png_palette(v, pal, filter_type=f)
+    rgb = np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=2).astype(np.uint8)
+    if cls == "rgb":
+        return encode_png(rgb, filter_type=f)
+    alpha = ((x + y + i) % 256).astype(np.uint8)       # excluded from mean_lum
+    return encode_png(np.concatenate([rgb, alpha[:, :, None]], axis=2),
+                      filter_type=f)
+
+
+def synth_png_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    return pa.table({
+        "img_id": pa.array(ids, pa.int64()),
+        "image": pa.array([synth_png(int(i)) for i in ids], pa.large_binary()),
+    })
+
+
 def video_frames(i: int) -> int:
     return 3 + i % 6
 

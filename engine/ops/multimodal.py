@@ -1,11 +1,12 @@
 """Multimodal column operators (binary payloads + typed metadata).
 
 The audio path is fully real (this repo's WAV codecs).  The image path is
-real for PPM/PGM/BMP/TGA (pure-numpy codecs, engine/image.py); other image
-formats and video decode are STUBBED behind ``NotImplementedError`` — the
-codec libraries are not in this container — with the Ray-side plumbing
-(schema, actor-pool signature, batch sizing, output layout) real and tested
-so swapping in Pillow / PyAV later is a one-class change.
+real for PNG (baseline, stdlib-zlib inflate + full filter set) and
+PPM/PGM/BMP/TGA (pure-numpy codecs, engine/image.py); JPEG and real video
+containers are STUBBED behind ``NotImplementedError`` — those codec
+libraries are not in this container — with the Ray-side plumbing (schema,
+actor-pool signature, batch sizing, output layout) real and tested so
+swapping in Pillow / PyAV later is a one-class change.
 """
 
 from __future__ import annotations
@@ -173,10 +174,11 @@ class ImageResizeStage:
 
 class ImageDecodeStage:
     """Binary image column → (width, height, mode, img_format, mean_lum,
-    decode_ok) metadata.  REAL decode for PPM/PGM, 24-bit BMP and type-2 TGA
-    via the pure-numpy codecs in engine/image.py (round-1 VERDICT item 6).
+    decode_ok) metadata.  REAL decode for baseline PNG, PPM/PGM, 24-bit BMP
+    and type-2 TGA via the pure codecs in engine/image.py (round-1 VERDICT
+    item 6; PNG added round 4).
 
-    Formats outside that set (JPEG/PNG need a codec library absent here):
+    Formats outside that set (JPEG needs a codec library absent here):
     with ``fake=True`` they fall back to deterministic payload-derived
     metadata with ``decode_ok=False`` so pipelines keep flowing; with
     ``fake=False`` the unknown format raises, the way a strict pipeline
@@ -205,8 +207,9 @@ class ImageDecodeStage:
             except ImageDecodeError:
                 if not self.fake:
                     raise NotImplementedError(
-                        "unsupported image format; PPM/PGM, 24-bit BMP and "
-                        "type-2 TGA decode natively, others need Pillow")
+                        "unsupported image format; baseline PNG, PPM/PGM, "
+                        "24-bit BMP and type-2 TGA decode natively, others "
+                        "need Pillow")
                 # Deterministic fallback: dimensions derived from payload digest.
                 d = sum(raw[:16]) if raw else 0
                 w[i] = 64 + (d % 192)

@@ -274,6 +274,68 @@ def test_image_codecs_roundtrip():
     assert (decode_tga(encode_tga(rgba)) == rgba).all()
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Baseline PNG encode→decode is pixel-exact for every scanline filter
+    (0-4), every color type (gray/RGB/RGBA/palette), odd shapes, and the
+    gray+alpha (type 4) expansion path."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from engine.image import (ImageDecodeError, decode_image, decode_png,
+                              encode_png, encode_png_palette, sniff_format)
+
+    rng = np.random.default_rng(3)
+    for shape in [(7, 5), (7, 5, 3), (16, 33, 4), (1, 1, 3), (2, 300, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = img[:, :, None] if img.ndim == 2 else img
+        for f in range(5):
+            data = encode_png(img, filter_type=f)
+            assert sniff_format(data) == "png"
+            assert (decode_png(data) == want).all(), (shape, f)
+
+    idx = rng.integers(0, 16, size=(9, 13), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (decode_png(encode_png_palette(idx, pal, filter_type=f))
+                == pal[idx]).all()
+
+    # gray+alpha (color type 4) expands to RGBA; hand-built chunk stream
+    h, w = 4, 6
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    scan = np.concatenate([np.zeros((h, 1), np.uint8),
+                           np.stack([g, a], axis=2).reshape(h, w * 2)], axis=1)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IEND", b""))
+    out, fmt = decode_image(data)
+    assert fmt == "png" and out.shape == (h, w, 4)
+    assert (out[:, :, 0] == g).all() and (out[:, :, 1] == g).all() \
+        and (out[:, :, 3] == a).all()
+
+    # honest rejects: truncated IDAT, 16-bit depth, interlaced
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    with _pytest.raises(ImageDecodeError):
+        decode_png(good[:40])
+    hdr16 = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+    with _pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + hdr16 + chunk(b"IEND", b""))
+    hdr_i = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+    with _pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + hdr_i
+                   + chunk(b"IDAT", zlib.compress(b"x" * 20))
+                   + chunk(b"IEND", b""))
+
+
 def test_image_codecs_reject_garbage():
     import pytest as _pytest
 
