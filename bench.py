@@ -29,9 +29,13 @@ BENCH_CLIPS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
 # Scaling runs use a larger corpus so the ~5s fixed session+actor startup is
 # amortized and the measurement reflects the pipeline, not process spawn.
 SCALING_CLIPS = {"sf0.001": 20_000, "sf0.01": 60_000, "sf0.1": 300_000}
-# The default bench also records a lighter two-scale signal each round
-# (regression tracking, not the headline criterion — that's --scaling).
-INLINE_SCALING_CLIPS = {"sf0.001": 5_000, "sf0.01": 30_000, "sf0.1": 150_000}
+# The default bench also records a two-scale signal each round at the SAME
+# clip counts as the --scaling criterion: the earlier half-size tripwire
+# (150k at sf0.1) spent ~5s of fixed session+actor startup against a 63s
+# 2-CPU leg and read 0.77-0.80 while the criterion read 0.83-0.89 — the
+# tripwire must not need an asterisk (round-3 VERDICT item 7), so each leg
+# now runs >=60s and the two measurements share one methodology.
+INLINE_SCALING_CLIPS = SCALING_CLIPS
 
 
 def _sf_label() -> str:
