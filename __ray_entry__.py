@@ -1128,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_grouping_sets": q.orders_grouping_sets,
         "purchase_attribution": q.purchase_attribution,
         "purchase_attribution_forward": q.purchase_attribution_forward,
+        "clicks_near_purchase": q.clicks_near_purchase,
         "purchase_attribution_nearest": q.purchase_attribution_nearest,
         "revenue_by_segment_day": q.revenue_by_segment_day,
         "revenue_by_brand": q.revenue_by_brand,
@@ -1211,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_grouping_sets": q.ORDERS_GROUPING_SETS_SQL,
         "purchase_attribution": q.PURCHASE_ATTRIBUTION_SQL,
         "purchase_attribution_forward": q.PURCHASE_ATTRIBUTION_FWD_SQL,
+        "clicks_near_purchase": q.CLICKS_NEAR_PURCHASE_SQL,
         "purchase_attribution_nearest": q.PURCHASE_ATTRIBUTION_NEAREST_SQL,
         "revenue_by_segment_day": q.REVENUE_SQL,
         "revenue_by_brand": q.REVENUE_BY_BRAND_SQL,

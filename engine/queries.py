@@ -1683,6 +1683,43 @@ ORDER BY p.event_id
 """
 
 
+def clicks_near_purchase(sf_dir: str, window_minutes: int = 60):
+    """Range/interval-count join: for each purchase, the number of the same
+    user's clicks within ±window of the purchase timestamp — the
+    engagement-context feature a training pipeline derives around
+    conversion events.  Built on engine/stages.py:interval_count_join
+    (tagged-union co-partition + two vectorized rank scans per partition;
+    Ray Data has no range join)."""
+    from engine.stages import interval_count_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def only(event_type: str):
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), event_type))
+        return ev.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    w_us = window_minutes * 60 * 1_000_000
+    out = interval_count_join(
+        only("purchase"), only("click"), by="user_id", on="ts",
+        lo_offset=-w_us, hi_offset=w_us,
+        left_cols=["event_id", "user_id"], out_col="n_nearby_clicks")
+    return out.sort("event_id")
+
+
+CLICKS_NEAR_PURCHASE_SQL = """
+SELECT p.event_id, p.user_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_nearby_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                        AND epoch_us(p.ts) + 3600000000
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
 def purchase_attribution_forward(sf_dir: str):
     """Forward as-of: the next click at/after each purchase."""
     return purchase_attribution(sf_dir, direction="forward")

@@ -874,6 +874,112 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
                                              batch_format="pyarrow")
 
 
+def interval_count_join(left_ds, right_ds, *, by: str, on: str,
+                        lo_offset: int, hi_offset: int,
+                        left_cols: list[str],
+                        out_col: str = "n_in_range",
+                        num_partitions: int | None = None):
+    """Distributed range/interval-count join: for each left row, the COUNT
+    of right rows with the same ``by`` key and ``on`` inside
+    ``[left.on + lo_offset, left.on + hi_offset]`` (inclusive both ends,
+    offsets in the int64 units of ``on`` — microseconds for timestamps).
+
+    Ray Data has no range join; like the as-of kernel this composes one
+    from a tagged-union hash shuffle on ``by`` and two vectorized rank
+    scans per partition: sort (key, bound, side) once per bound with right
+    rows ordering first at the hi bound (<= inclusive) and last at the lo
+    bound (< exclusive), then a cumulative count of right rows minus the
+    run start gives rights_le(hi) - rights_lt(lo) per left row.
+    O(partitions) dispatch, O(n log n) per partition, no per-key loop, and
+    nothing wider than key+on+payload ever shuffles.
+    """
+    import pandas as pd
+
+    n_parts = num_partitions or shuffle_partitions(
+        left_ds.select_columns([by]).count())
+    left_schema = left_ds.schema()
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def _on_i64(col) -> np.ndarray:
+        arr = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def _parts(keys: np.ndarray) -> pa.Array:
+        h = pd.util.hash_array(keys, categorize=False)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int32))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        cols = {"k": t.column(by), "o": pa.array(_on_i64(t.column(on))),
+                "part": _parts(keys),
+                "is_left": pa.array(np.ones(t.num_rows, dtype=bool))}
+        for c in left_cols:
+            cols[f"l_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        cols = {"k": t.column(by), "o": pa.array(_on_i64(t.column(on))),
+                "part": _parts(keys),
+                "is_left": pa.array(np.zeros(t.num_rows, dtype=bool))}
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(t.num_rows, left_types[c])
+        return pa.table(cols)
+
+    def _rank_scan(keys, bounds, is_left, rights_first: bool):
+        """Per left row: count of right rows within its key run whose ``on``
+        precedes its bound in the (key, bound, side) sort order."""
+        n = keys.size
+        side = np.where(is_left, 1, 0) if rights_first else \
+            np.where(is_left, 0, 1)
+        order = np.lexsort((side, bounds, keys))
+        keys_s, left_s = keys[order], is_left[order]
+        cum_rights = np.cumsum(~left_s)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_s[1:] != keys_s[:-1]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        run_start = np.repeat(starts, counts)
+        base = np.where(run_start > 0, cum_rights[
+            np.clip(run_start - 1, 0, n - 1)], 0)
+        rights_before = np.where(left_s, cum_rights - base, 0)
+        out = np.zeros(n, dtype=np.int64)
+        out[order] = rights_before
+        return out
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            cols = {c: pa.array([], left_types[c]) for c in left_cols}
+            cols[out_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        keys = group.column("k").to_numpy(zero_copy_only=False)
+        ons = group.column("o").to_numpy(zero_copy_only=False)
+        is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+        # rights <= on + hi: left bound = on + hi, rights sort FIRST at ties
+        le_hi = _rank_scan(keys, np.where(is_left, ons + hi_offset, ons),
+                           is_left, rights_first=True)
+        # rights < on + lo: left bound = on + lo, rights sort LAST at ties
+        lt_lo = _rank_scan(keys, np.where(is_left, ons + lo_offset, ons),
+                           is_left, rights_first=False)
+        counts = le_hi - lt_lo
+        left_rows = np.flatnonzero(is_left)
+        take = pa.array(left_rows)
+        cols = {c: group.column(f"l_{c}").take(take) for c in left_cols}
+        cols[out_col] = pa.array(counts[left_rows])
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    return tagged.groupby("part").map_groups(join_partition,
+                                             batch_format="pyarrow")
+
+
 def _orphan_row_mask(keys: np.ndarray, flags: np.ndarray) -> np.ndarray:
     """Row mask of orphan fact rows inside ONE hash partition of the tagged
     union: a row is an orphan iff NO row with its key has the dim flag.

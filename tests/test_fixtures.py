@@ -375,6 +375,39 @@ def test_asof_join_backward(ray_session):
     assert out[10]["t_r"] == 100 and out[11]["t_r"] == 40
 
 
+def test_interval_count_join_matches_bruteforce(ray_session):
+    """Randomized range-count join vs an O(n*m) brute force: inclusive
+    bounds at BOTH ends, asymmetric offsets, keys with zero right rows,
+    duplicate timestamps, many blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages import interval_count_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 9, 150)          # key 8 has no right rows
+    lt = rng.integers(0, 300, 150)
+    rk = rng.integers(0, 8, 400)
+    rt = rng.integers(0, 300, 400)
+    lo, hi = -7, 12
+
+    lds = ray.data.from_arrow(pa.table({
+        "uid": pa.array(lk, pa.int64()), "t": pa.array(lt, pa.int64()),
+        "lid": pa.array(np.arange(150), pa.int64())})).repartition(4)
+    rds = ray.data.from_arrow(pa.table({
+        "uid": pa.array(rk, pa.int64()), "t": pa.array(rt, pa.int64()),
+        "rid": pa.array(np.arange(400), pa.int64())})).repartition(3)
+
+    got = {r["lid"]: r["n_in_range"] for r in interval_count_join(
+        lds, rds, by="uid", on="t", lo_offset=lo, hi_offset=hi,
+        left_cols=["lid"], num_partitions=4).take_all()}
+    want = {int(i): int(((rk == lk[i]) & (rt >= lt[i] + lo)
+                         & (rt <= lt[i] + hi)).sum())
+            for i in range(150)}
+    assert got == want
+
+
 def test_asof_join_directions_match_pandas(ray_session):
     """forward/nearest/backward against pandas merge_asof on a randomized
     corpus (200 left x 300 right rows, 8 keys, duplicate timestamps,
