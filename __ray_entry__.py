@@ -1120,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "top_events_per_user": q.top_events_per_user,
         "large_gap_events": q.large_gap_events,
+        "user_running_value": q.user_running_value,
         "cap_events_per_user": q.cap_events_per_user,
         "events_moving_avg": q.events_moving_avg,
         "events_dow_pivot": q.events_dow_pivot,
@@ -1204,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": q.SESSIONIZE_SQL,
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,
+        "user_running_value": q.USER_RUNNING_VALUE_SQL,
         "cap_events_per_user": q.CAP_EVENTS_SQL,
         "events_moving_avg": q.MOVING_AVG_SQL,
         "events_dow_pivot": q.DOW_PIVOT_SQL,

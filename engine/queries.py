@@ -1508,6 +1508,61 @@ SELECT user_id, event_id, ts FROM (
 """
 
 
+def user_running_value(sf_dir: str):
+    """Window RUNNING aggregate (SUM ... ROWS UNBOUNDED PRECEDING): each
+    event's cumulative value for its user in (ts, event_id) order — the
+    lifetime-spend-so-far feature alongside the rank/lag/session window
+    operators.  Same salted-partition shape: one shuffle on user hash, one
+    vectorized lexsort + cumsum-with-run-start-subtraction pass per
+    partition.  Sums run in exact 1e-4 integer units (the table's value
+    precision) so the rounded output hashes against SQL."""
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def cum_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "run_value": pa.array([], pa.float64())})
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        cents = _half_away_cents(group.column("value").to_numpy(), 10000.0)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        cum = np.cumsum(cents)
+        base = np.repeat(cum[starts] - cents[starts], counts)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_id": pa.array(eid),
+            "run_value": pa.array(
+                _half_away_round((cum - base) / 10000.0, 4)),
+        })
+
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part").map_groups(cum_partition, batch_format="pyarrow") \
+        .sort(["user_id", "event_id"])
+
+
+USER_RUNNING_VALUE_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) / 10000.0, 4) AS run_value
+FROM events ORDER BY user_id, event_id
+"""
+
+
 def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
     """Window NAVIGATION (LAG): events preceded by a suspicious inactivity
     gap (> gap_seconds) from the same user's previous event — the
