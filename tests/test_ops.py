@@ -110,7 +110,7 @@ def test_ivf_centroids_cached_across_invocations(ray_session, monkeypatch):
     import engine.ops.similarity as sim
     from engine import queries as q
 
-    q.ivf_centroids_for.cache_clear()
+    q._ivf_centroids_cached.cache_clear()
     calls = {"n": 0}
     real = sim.train_ivf_centroids
 
