@@ -1110,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repair_extract_events": q.repair_extract_events,
         "jsonl_repair_events": q.jsonl_repair_events,
         "jsonl_gz_repair_events": q.jsonl_gz_repair_events,
+        "jsonl_zst_repair_events": q.jsonl_zst_repair_events,
         "token_stats_documents": q.token_stats_documents,
         "top_terms_per_document": q.top_terms_per_document,
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
@@ -1234,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "repair_extract_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_repair_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_gz_repair_events": q.REPAIR_EXTRACT_SQL,
+        "jsonl_zst_repair_events": q.REPAIR_EXTRACT_SQL,
         "token_stats_documents": q.TOKEN_STATS_SQL,
         "top_terms_per_document": q.TOP_TERMS_SQL,
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,

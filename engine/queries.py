@@ -74,29 +74,35 @@ def q1_pricing_summary(sf_dir: str):
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False).agg(
             sum_qty=("qty", "sum"), sum_price_c=("price_c", "sum"),
             sum_disc_c=("disc_c", "sum"), cnt=("qty", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # One JSON state row per batch: the final merge is a keyed tree
+        # reduction, not a 6-key groupby (whose mostly-empty range
+        # partitions emit the zero-column blocks behind the RefBundle
+        # schema warnings — same fix as distinct_users_by_type).
+        st = {f"{r.l_returnflag}\x1f{r.l_linestatus}":
+              [int(r.sum_qty), int(r.sum_price_c), int(r.sum_disc_c), int(r.cnt)]
+              for r in g.itertuples()}
+        return pa.table({"state": pa.array([json.dumps(st)], pa.large_string())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
-        ["sum_qty", "sum_price_c", "sum_disc_c", "cnt"])
+    from engine.stages import keyed_tree_reduce
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        sum_qty = batch.column("sum(sum_qty)").to_numpy()
-        price_c = batch.column("sum(sum_price_c)").to_numpy()
-        disc_c = batch.column("sum(sum_disc_c)").to_numpy()
-        cnt = batch.column("sum(cnt)").to_numpy()
-        return pa.table({
-            "l_returnflag": batch.column("l_returnflag"),
-            "l_linestatus": batch.column("l_linestatus"),
-            "sum_qty": pa.array(sum_qty),
-            "sum_base_price": pa.array(_half_away_round(price_c / 100.0, 2)),
-            "sum_disc_price": pa.array(_half_away_round(disc_c / 100.0, 2)),
-            "avg_qty": pa.array(_half_away_round(sum_qty / cnt, 4)),
-            "count_order": pa.array(cnt),
-        })
-
-    return merged.map_batches(finalize, batch_format="pyarrow").sort(
-        ["l_returnflag", "l_linestatus"])
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda a, b: [x + y for x, y in zip(a, b)])
+    keys = sorted(merged)
+    flags = [k.split("\x1f") for k in keys]
+    sum_qty = np.array([merged[k][0] for k in keys], dtype=np.int64)
+    price_c = np.array([merged[k][1] for k in keys], dtype=np.float64)
+    disc_c = np.array([merged[k][2] for k in keys], dtype=np.float64)
+    cnt = np.array([merged[k][3] for k in keys], dtype=np.int64)
+    return pa.table({
+        "l_returnflag": pa.array([f[0] for f in flags], pa.string()),
+        "l_linestatus": pa.array([f[1] for f in flags], pa.string()),
+        "sum_qty": pa.array(sum_qty),
+        "sum_base_price": pa.array(_half_away_round(price_c / 100.0, 2)),
+        "sum_disc_price": pa.array(_half_away_round(disc_c / 100.0, 2)),
+        "avg_qty": pa.array(_half_away_round(sum_qty / cnt, 4)),
+        "count_order": pa.array(cnt),
+    })
 
 
 Q1_SQL = """
@@ -187,25 +193,31 @@ def grouped_stats_orderpriority(sf_dir: str):
             "o_orderpriority": batch.column("o_orderpriority").to_pandas(),
             "cents": _half_away_cents(batch.column("o_totalprice").to_numpy()),
         })
-        g = df.groupby("o_orderpriority", as_index=False).agg(
+        g = df.groupby("o_orderpriority", as_index=False, dropna=False).agg(
             n=("cents", "size"), sum_c=("cents", "sum"),
             min_c=("cents", "min"), max_c=("cents", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Keyed-tree-reduce finalize (see q1): one JSON state row per batch.
+        st = {str(r.o_orderpriority):
+              [int(r.n), int(r.sum_c), int(r.min_c), int(r.max_c)]
+              for r in g.itertuples()}
+        return pa.table({"state": pa.array([json.dumps(st)], pa.large_string())})
 
-    def merge_group(g: pa.Table) -> pa.Table:
-        n = int(pc.sum(g.column("n")).as_py())
-        sum_c = int(pc.sum(g.column("sum_c")).as_py())
-        return pa.table({
-            "o_orderpriority": pa.array([g.column("o_orderpriority")[0].as_py()], pa.string()),
-            "n_orders": pa.array([n], pa.int64()),
-            "avg_price": pa.array([float(_half_away_round(sum_c / 100.0 / n, 4))]),
-            "min_price": pa.array([int(pc.min(g.column("min_c")).as_py()) / 100.0]),
-            "max_price": pa.array([int(pc.max(g.column("max_c")).as_py()) / 100.0]),
-        })
+    from engine.stages import keyed_tree_reduce
 
-    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("o_orderpriority").map_groups(merge_group, batch_format="pyarrow")
-    return out.sort("o_orderpriority")
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda a, b: [a[0] + b[0], a[1] + b[1],
+                      min(a[2], b[2]), max(a[3], b[3])])
+    keys = sorted(merged)
+    return pa.table({
+        "o_orderpriority": pa.array(keys, pa.string()),
+        "n_orders": pa.array([merged[k][0] for k in keys], pa.int64()),
+        "avg_price": pa.array(
+            [float(_half_away_round(merged[k][1] / 100.0 / merged[k][0], 4))
+             for k in keys], pa.float64()),
+        "min_price": pa.array([merged[k][2] / 100.0 for k in keys], pa.float64()),
+        "max_price": pa.array([merged[k][3] / 100.0 for k in keys], pa.float64()),
+    })
 
 
 GROUPED_ORDERS_SQL = """
@@ -525,13 +537,26 @@ def orders_per_segment(sf_dir: str):
         tagged = joined.map_batches(partial_counts, batch_format="pyarrow",
                                     zero_copy_batch=True)
 
-    def finalize(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["c_mktsegment", "order_cnt"])
-        return t.filter(pc.greater(t.column("order_cnt"), 0))
+    def to_state(batch: pa.Table) -> pa.Table:
+        st: dict[str, int] = {}
+        for k, v in zip(batch.column("c_mktsegment").to_pylist(),
+                        batch.column("n").to_numpy()):
+            st[k] = st.get(k, 0) + int(v)
+        return pa.table({"state": pa.array([json.dumps(st)], pa.large_string())})
 
-    return tagged.groupby("c_mktsegment").sum("n") \
-        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True) \
-        .sort("c_mktsegment")
+    from engine.stages import keyed_tree_reduce
+
+    # Keyed-tree-reduce finalize (see q1): 5 segments range-partitioned
+    # across N blocks would leave ~N-5 empty zero-column partitions.
+    merged = keyed_tree_reduce(
+        tagged.map_batches(to_state, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        lambda a, b: a + b)
+    keys = sorted(k for k, v in merged.items() if v > 0)
+    return pa.table({
+        "c_mktsegment": pa.array(keys, pa.string()),
+        "order_cnt": pa.array([merged[k] for k in keys], pa.int64()),
+    })
 
 
 ORDERS_PER_SEGMENT_SQL = """
@@ -707,34 +732,36 @@ def jsonl_repair_events(sf_dir: str):
 _JSONL_GZ_SHARDS = 8
 
 
-def _events_jsonl_gz_cache(sf_dir: str) -> str:
-    """Gzip-sharded form of the JSONL text source (real 100-TB corpora ship
-    compressed shards, never plain text).  gzip is NOT splittable, so read
-    parallelism equals shard count — the cache writes _JSONL_GZ_SHARDS
-    contiguous-chunk shards, which is exactly how a production corpus keeps
-    N-way parallelism per node.  Atomic publish via tmp-dir rename (same
-    race discipline as the plaintext cache)."""
-    import gzip
+def _events_jsonl_compressed_cache(sf_dir: str, codec: str, ext: str) -> str:
+    """Compressed-shard form of the JSONL text source (real 100-TB corpora
+    ship compressed shards, never plain text).  Stream compressors are NOT
+    splittable, so read parallelism equals shard count — the cache writes
+    _JSONL_GZ_SHARDS contiguous-chunk shards, which is exactly how a
+    production corpus keeps N-way parallelism per node.  Atomic publish via
+    tmp-dir rename (same race discipline as the plaintext cache).  ``codec``
+    is any pyarrow stream codec ("gzip", "zstd", ...)."""
     import os
     import shutil
 
+    import pyarrow as _pa
+
     src = _events_jsonl_cache(sf_dir)
-    path = src[: -len(".jsonl")] + "_gz"
+    path = src[: -len(".jsonl")] + f"_{ext}"
     if os.path.isdir(path):
         return path
     tmp = f"{path}.{os.getpid()}.tmp"
     os.makedirs(tmp, exist_ok=True)
     try:
-        with open(src, encoding="utf-8") as f:
+        with open(src, "rb") as f:
             lines = f.readlines()
         per = max(1, -(-len(lines) // _JSONL_GZ_SHARDS))
         for i in range(0, _JSONL_GZ_SHARDS):
             chunk = lines[i * per:(i + 1) * per]
             if not chunk and i:
                 break
-            with gzip.open(os.path.join(tmp, f"shard-{i:03d}.jsonl.gz"),
-                           "wt", encoding="utf-8", compresslevel=1) as g:
-                g.writelines(chunk)
+            shard = os.path.join(tmp, f"shard-{i:03d}.jsonl.{ext}")
+            with _pa.output_stream(shard, compression=codec) as g:
+                g.write(b"".join(chunk))
         try:
             os.rename(tmp, path)
         except OSError:
@@ -745,21 +772,36 @@ def _events_jsonl_gz_cache(sf_dir: str) -> str:
     return path
 
 
-def jsonl_gz_repair_events(sf_dir: str):
+def _events_jsonl_gz_cache(sf_dir: str) -> str:
+    return _events_jsonl_compressed_cache(sf_dir, "gzip", "gz")
+
+
+def _jsonl_compressed_repair_events(sf_dir: str, codec: str, ext: str):
     """COMPRESSED TEXT SOURCE + repair: the same planted-malformation JSONL
-    corpus as jsonl_repair_events, but gzip-sharded and decompressed
+    corpus as jsonl_repair_events, but compressed-sharded and decompressed
     STREAMING inside the read tasks (arrow_open_stream_args — no driver
     staging, no whole-file inflate).  Shares the line kernel and the
     parquet-ground-truth oracle, so a decompression or repair divergence
     hash-mismatches."""
     import ray.data
 
-    path = _events_jsonl_gz_cache(sf_dir)
+    path = _events_jsonl_compressed_cache(sf_dir, codec, ext)
     return ray.data.read_text(
-        path, file_extensions=["gz"],
-        arrow_open_stream_args={"compression": "gzip"}).map_batches(
+        path, file_extensions=[ext],
+        arrow_open_stream_args={"compression": codec}).map_batches(
         _repair_parse_lines, batch_format="pyarrow",
         zero_copy_batch=True).sort("event_id")
+
+
+def jsonl_gz_repair_events(sf_dir: str):
+    """Gzip-sharded JSONL source (see _jsonl_compressed_repair_events)."""
+    return _jsonl_compressed_repair_events(sf_dir, "gzip", "gz")
+
+
+def jsonl_zst_repair_events(sf_dir: str):
+    """Zstd-sharded JSONL source — the other compression real corpora ship
+    (see _jsonl_compressed_repair_events)."""
+    return _jsonl_compressed_repair_events(sf_dir, "zstd", "zst")
 
 
 # ------------------------------------------------------------- text analysis

@@ -432,9 +432,15 @@ def test_jsonl_gz_source_matches_plaintext(ray_session):
     d = _events_jsonl_gz_cache(SF_DIR)
     shards = [f for f in os.listdir(d) if f.endswith(".jsonl.gz")]
     assert len(shards) > 1, "parallelism comes from shard count"
-    got = [(r["event_id"], r["k"]) for r in jsonl_gz_repair_events(SF_DIR).take_all()]
     want = [(r["event_id"], r["k"]) for r in jsonl_repair_events(SF_DIR).take_all()]
+    got = [(r["event_id"], r["k"]) for r in jsonl_gz_repair_events(SF_DIR).take_all()]
     assert got == want
+
+    from engine.queries import jsonl_zst_repair_events
+
+    got_z = [(r["event_id"], r["k"])
+             for r in jsonl_zst_repair_events(SF_DIR).take_all()]
+    assert got_z == want
 
 
 def test_jsonl_parse_null_on_invalid(ray_session, tmp_path, monkeypatch):
