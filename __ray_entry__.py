@@ -604,6 +604,72 @@ def _tdigest_quantity(sf_dir: str):
     })
 
 
+G711_FEATURES_N = 4096
+
+G711_FEATURES_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+base AS (
+  SELECT i,
+    CASE WHEN i % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    200 + (i * 37) % 800 AS dur,
+    16 + (i % 96) AS b
+  FROM ids
+), g AS (
+  SELECT i, codec, (sr * dur) // 1000 AS n,
+    -- G.711 decode magnitude of byte b (public bit layout):
+    CASE WHEN i % 2 = 0 THEN
+      ((((255 - b) & 15) * 8 + 132) * (1 << (((255 - b) >> 4) & 7))) - 132
+    ELSE
+      CASE WHEN ((xor(b, 85) >> 4) & 7) = 0 THEN (xor(b, 85) & 15) * 16 + 8
+           ELSE ((xor(b, 85) & 15) * 16 + 264)
+                * (1 << (((xor(b, 85) >> 4) & 7) - 1)) END
+    END AS mag
+  FROM base
+)
+SELECT i AS aud_id, codec, TRUE AS decode_ok,
+  CAST(n AS BIGINT) AS n_samples,
+  ROUND(CAST(CAST(CAST(mag AS DOUBLE) / 32767.0 AS REAL) AS DOUBLE), 4) AS rms,
+  1.0 AS zero_cross_rate
+FROM g ORDER BY aud_id
+"""
+
+
+def _g711_audio_features(sf_dir: str):
+    """Hash-oracled G.711 decode (round-4): the companded-byte corpus
+    (engine/data/audio_synth.py:synth_g711 — mu-law and A-law alternating
+    at every sample) must decode through the REAL expansion tables in
+    engine/audio.py to the closed-form rms/zcr the DuckDB oracle recomputes
+    from the G.711 bit layout itself (the byte -> magnitude formula is in
+    the SQL, so the oracle is independent of the engine tables)."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_g711_batch
+    from engine.ops.multimodal import AudioFeatureStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(G711_FEATURES_N).map_batches(
+        synth_g711_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_samples": t.column("n_samples"),
+            "rms": pa.array(_half_away_round(
+                t.column("rms").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            "zero_cross_rate": t.column("zero_cross_rate"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
 AUDIO_FEATURES_N = 4096
 
 AUDIO_FEATURES_SQL = """
@@ -1147,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_split": q.drift_events_split,
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
+        "g711_audio_features": _g711_audio_features,
         "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
@@ -1199,7 +1266,7 @@ _ORACLE_PRIORITY = [
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "purchase_attribution_nearest",
     "clicks_near_purchase", "revenue_by_segment_day",
-    "supplier_stats_by_region", "union_region_nation_names",
+    "union_region_nation_names", "g711_audio_features",
     "stratified_sample_documents", "long_tail_documents",
     "lang_quality_documents", "quantiles_by_returnflag",
     "drift_events_split", "audio_features", "audio_chunks",
@@ -1272,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_split": q.DRIFT_EVENTS_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
+        "g711_audio_features": G711_FEATURES_SQL,
         "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,

@@ -21,10 +21,48 @@ from __future__ import annotations
 import numpy as np
 
 PCM_CODECS = ("pcm16", "pcm8")
+G711_CODECS = ("ulaw", "alaw")       # telephony companding, real decode below
 STUB_CODECS = ("opus", "flac")
 ALL_CODECS = PCM_CODECS + STUB_CODECS
 
 _WAV_FMT = {"pcm16": (16, np.int16), "pcm8": (8, np.uint8)}
+
+# WAVE format tags (public RIFF registry): 6 = G.711 A-law, 7 = G.711 mu-law.
+_WAVE_FMT_ALAW = 6
+_WAVE_FMT_ULAW = 7
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 decode tables from the G.711 bit layout (public
+    formula; byte-identical to the classic CCITT reference tables —
+    verified against stdlib audioop in tests)."""
+    u = np.arange(256, dtype=np.int32)
+    c = (~u) & 0xFF                                   # mu-law: complement
+    mag = ((((c & 0x0F) << 3) + 0x84) << ((c >> 4) & 7)) - 0x84
+    ulaw = np.where(c & 0x80, -mag, mag).astype(np.int16)
+    a = u ^ 0x55                                      # A-law: even-bit flip
+    ea, ma = (a >> 4) & 7, a & 0x0F
+    maga = np.where(ea == 0, (ma << 4) + 8,
+                    ((ma << 4) + 0x108) << np.maximum(ea - 1, 0))
+    alaw = np.where(a & 0x80, maga, -maga).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DECODE, _ALAW_DECODE = _g711_tables()
+
+
+def _g711_encode(pcm: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Nearest-codeword companding: for each int16 sample, the byte whose
+    decoded value is closest (convention-proof inverse of the decode table;
+    encode(decode(b)) == b for all 256 bytes by construction)."""
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    pos = np.searchsorted(sorted_vals, pcm.astype(np.int32))
+    pos = np.clip(pos, 1, 255)
+    left, right = sorted_vals[pos - 1], sorted_vals[pos]
+    take_left = (pcm.astype(np.int32) - left) <= (right - pcm.astype(np.int32))
+    idx = np.where(take_left, pos - 1, pos)
+    return order[idx].astype(np.uint8)
 
 
 # ----------------------------------------------------------------- synthesis
@@ -57,27 +95,34 @@ def reference_signal(clip_id: str, sr_hz: int, n_samples: int) -> np.ndarray:
 # -------------------------------------------------------------------- encode
 
 
-def encode_wav(signal: np.ndarray, sr_hz: int, codec: str = "pcm16") -> bytes:
-    """float [-1,1] → RIFF/WAV bytes (PCM16 or PCM8)."""
-    bits, dtype = _WAV_FMT["pcm16" if codec in STUB_CODECS else codec]
-    if bits == 16:
-        pcm = np.round(signal * 32767.0).astype(np.int16)
-    else:
-        pcm = np.round((signal * 0.5 + 0.5) * 255.0).astype(np.uint8)
-    data = pcm.tobytes()
+def _wav_container(data: bytes, sr_hz: int, bits: int, fmt_tag: int) -> bytes:
     byte_rate = sr_hz * bits // 8
-    header = (
+    return (
         b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
         + b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")              # PCM
+        + fmt_tag.to_bytes(2, "little")
         + (1).to_bytes(2, "little")              # mono
         + sr_hz.to_bytes(4, "little")
         + byte_rate.to_bytes(4, "little")
         + (bits // 8).to_bytes(2, "little")
         + bits.to_bytes(2, "little")
         + b"data" + len(data).to_bytes(4, "little")
-    )
-    return header + data
+    ) + data
+
+
+def encode_wav(signal: np.ndarray, sr_hz: int, codec: str = "pcm16") -> bytes:
+    """float [-1,1] → RIFF/WAV bytes (PCM16, PCM8, or G.711 ulaw/alaw)."""
+    if codec in G711_CODECS:
+        pcm = np.round(signal * 32767.0).astype(np.int16)
+        table = _ULAW_DECODE if codec == "ulaw" else _ALAW_DECODE
+        tag = _WAVE_FMT_ULAW if codec == "ulaw" else _WAVE_FMT_ALAW
+        return _wav_container(_g711_encode(pcm, table).tobytes(), sr_hz, 8, tag)
+    bits, dtype = _WAV_FMT["pcm16" if codec in STUB_CODECS else codec]
+    if bits == 16:
+        pcm = np.round(signal * 32767.0).astype(np.int16)
+    else:
+        pcm = np.round((signal * 0.5 + 0.5) * 255.0).astype(np.uint8)
+    return _wav_container(pcm.tobytes(), sr_hz, bits, 1)
 
 
 # -------------------------------------------------------------------- decode
@@ -115,8 +160,19 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
     channels = int.from_bytes(fmt[2:4], "little")
     sr_hz = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or channels != 1:
-        raise AudioDecodeError(f"unsupported wav format={audio_format} channels={channels}")
+    if channels != 1:
+        raise AudioDecodeError(f"unsupported wav channels={channels}")
+    if audio_format in (_WAVE_FMT_ULAW, _WAVE_FMT_ALAW):
+        if bits != 8:
+            raise AudioDecodeError(f"G.711 requires 8-bit samples, got {bits}")
+        table = (_ULAW_DECODE if audio_format == _WAVE_FMT_ULAW
+                 else _ALAW_DECODE)
+        sig = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32767.0
+        if sr_hz <= 0:
+            raise AudioDecodeError("invalid sample rate")
+        return sig, sr_hz
+    if audio_format != 1:
+        raise AudioDecodeError(f"unsupported wav format={audio_format}")
     if bits == 16:
         if len(data) % 2:
             raise AudioDecodeError("odd PCM16 data length")
@@ -150,7 +206,7 @@ class StubCodecDecoder:
 
 
 def decode_any(raw: bytes, codec: str) -> tuple[np.ndarray, int]:
-    if codec in PCM_CODECS:
+    if codec in PCM_CODECS or codec in G711_CODECS:
         return decode_wav(raw)
     if codec in STUB_CODECS:
         return StubCodecDecoder(codec).decode(raw)

@@ -71,6 +71,42 @@ def synth_audio(i: int) -> tuple[bytes, str]:
     return raw, p["codec"]
 
 
+def synth_g711(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for G.711 clip i: an alternating-sign
+    square wave expressed DIRECTLY as companded bytes.  Byte b decodes to
+    value v via the public G.711 bit layout and b ^ 0x80 decodes to exactly
+    -v (the sign bit flips through both the mu-law complement and the A-law
+    0x55 mask), so rms = |v|/32767 and zero-cross-rate = 1 are closed-form
+    in the byte index — SQL-oracle-able like the PCM corpus above."""
+    from engine.audio import _wav_container
+
+    codec = "ulaw" if i % 2 == 0 else "alaw"
+    sr = SRS[i % 4]
+    dur_ms = 200 + (i * 37) % 800
+    n = sr * dur_ms // 1000
+    b = 16 + (i % 96)
+    pattern = np.empty(n, dtype=np.uint8)
+    pattern[0::2] = b
+    pattern[1::2] = b ^ 0x80
+    return _wav_container(pattern.tobytes(), sr, 8,
+                          7 if codec == "ulaw" else 6), codec
+
+
+def synth_g711_batch(batch: pa.Table) -> pa.Table:
+    """ray.data.range(n) batch → (aud_id, bytes, codec) G.711 rows."""
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_g711(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })
+
+
 def synth_audio_batch(batch: pa.Table) -> pa.Table:
     """ray.data.range(n) batch → (aud_id, bytes, codec) rows."""
     ids = batch.column("id").to_numpy()

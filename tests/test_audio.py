@@ -38,6 +38,42 @@ def test_stub_codec_path():
         decode_any(raw, "mp3")
 
 
+def test_g711_tables_match_reference_and_roundtrip():
+    """The computed mu-law/A-law expansion tables must be byte-identical to
+    the classic CCITT reference (stdlib audioop — an independent public
+    implementation), every decoded codeword must survive an
+    encode(decode(b)) round trip, and companding a sine must land in the
+    G.711 ballpark (~35-40 dB SNR)."""
+    import warnings
+
+    from engine.audio import (_ALAW_DECODE, _ULAW_DECODE, _g711_encode,
+                              decode_any)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    ref_u = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+    assert (_ULAW_DECODE == ref_u).all()
+    assert (_ALAW_DECODE == ref_a).all()
+
+    for table in (_ULAW_DECODE, _ALAW_DECODE):
+        enc = _g711_encode(table.astype(np.int16), table)
+        assert (table[enc] == table).all()
+
+    sig = reference_signal("clip-g711", 8000, 8000)
+    for codec in ("ulaw", "alaw"):
+        raw = encode_wav(sig, 8000, codec)
+        decoded, sr = decode_any(raw, codec)
+        assert sr == 8000 and decoded.size == 8000
+        assert 30 < snr_db(sig, decoded) < 60
+
+    # sign-flip property used by the oracle corpus: b ^ 0x80 negates
+    b = np.arange(256, dtype=np.int64)
+    assert (_ULAW_DECODE[b ^ 0x80] == -_ULAW_DECODE[b]).all()
+    assert (_ALAW_DECODE[b ^ 0x80] == -_ALAW_DECODE[b]).all()
+
+
 def test_decode_rejects_garbage():
     with pytest.raises(AudioDecodeError):
         decode_wav(b"not audio at all")
