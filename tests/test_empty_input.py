@@ -19,7 +19,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # Queries whose finalize previously went through a low-cardinality groupby
 # (the BENCH_r03 RefBundle-warning set) — each must return a typed result on
 # an empty corpus, matching the DuckDB oracle exactly.
-EMPTY_SAFE = ["distinct_users_by_type", "distinct_users_events"]
+EMPTY_SAFE = ["distinct_users_by_type", "distinct_users_events",
+              "q1_pricing_summary", "grouped_stats_orderpriority",
+              "orders_per_segment"]
 
 
 @pytest.fixture(scope="module")
