@@ -1188,6 +1188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q.top_events_per_user,
         "large_gap_events": q.large_gap_events,
         "user_running_value": q.user_running_value,
+        "orders_row_number": q.orders_row_number,
+        "orders_value_quartile": q.orders_value_quartile,
         "cap_events_per_user": q.cap_events_per_user,
         "events_moving_avg": q.events_moving_avg,
         "events_dow_pivot": q.events_dow_pivot,
@@ -1261,8 +1263,8 @@ _ORACLE_PRIORITY = [
     "jsonl_repair_events", "jsonl_gz_repair_events", "token_stats_documents",
     "top_terms_per_document", "rolling_fingerprint", "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
-    "large_gap_events", "user_running_value", "events_moving_avg",
-    "events_dow_pivot", "events_hopping_window", "orders_rollup",
+    "large_gap_events", "user_running_value", "orders_row_number",
+    "events_moving_avg", "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "purchase_attribution_nearest",
     "clicks_near_purchase", "revenue_by_segment_day",
@@ -1314,6 +1316,8 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,
         "user_running_value": q.USER_RUNNING_VALUE_SQL,
+        "orders_row_number": q.ORDERS_ROW_NUMBER_SQL,
+        "orders_value_quartile": q.ORDERS_VALUE_QUARTILE_SQL,
         "cap_events_per_user": q.CAP_EVENTS_SQL,
         "events_moving_avg": q.MOVING_AVG_SQL,
         "events_dow_pivot": q.DOW_PIVOT_SQL,

@@ -1550,6 +1550,61 @@ SELECT user_id, event_id, ts FROM (
 """
 
 
+def orders_row_number(sf_dir: str):
+    """Global ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) — the
+    zipWithIndex operator (engine/stages.py:with_row_number): one sort,
+    then an O(blocks) per-block (first-key, count) report whose prefix
+    sums broadcast back as block offsets.  The order is deliberately a
+    NON-key column + tiebreaker, so the numbering exercises a real total
+    order, not key rank."""
+    from engine.stages import with_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = with_row_number(ds, ["o_totalprice", "o_orderkey"], out_col="rn")
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "rn"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort("o_orderkey")
+
+
+ORDERS_ROW_NUMBER_SQL = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def orders_value_quartile(sf_dir: str, k: int = 4):
+    """NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey): exact SQL tile
+    sizes (first n%k tiles get one extra row), derived from the global row
+    number — a second one-scan consumer of with_row_number."""
+    from engine.stages import with_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    numbered = with_row_number(ds, ["o_totalprice", "o_orderkey"],
+                               out_col="rn")
+
+    def tile(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy()
+        t = np.where(rn <= big, (rn - 1) // max(q + 1, 1),
+                     r + (rn - 1 - big) // max(q, 1)) + 1
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "quartile": pa.array(t.astype(np.int64))})
+
+    return numbered.map_batches(tile, batch_format="pyarrow",
+                                zero_copy_batch=True).sort("o_orderkey")
+
+
+ORDERS_VALUE_QUARTILE_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS quartile
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def user_running_value(sf_dir: str):
     """Window RUNNING aggregate (SUM ... ROWS UNBOUNDED PRECEDING): each
     event's cumulative value for its user in (ts, event_id) order — the

@@ -874,6 +874,78 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
                                              batch_format="pyarrow")
 
 
+def with_row_number(ds, keys: list[str], *, out_col: str = "row_number"):
+    """Global 1-based row numbers in (keys) order — the zipWithIndex /
+    ROW_NUMBER() OVER (ORDER BY ...) operator the Dataset API lacks.
+
+    ``keys`` must be a TOTAL order (include a tiebreaker column); equal
+    composites across block boundaries would make numbering depend on the
+    split point.
+
+    Two passes over the SAME materialized sorted blocks (no re-execution,
+    no driver data): pass 1 is a per-block (first-composite, row-count)
+    report — O(blocks) driver rows; the prefix sums broadcast as a tiny
+    dict; pass 2 adds offset + local arange per block.  The only all-data
+    movement is the sort itself.
+    """
+    import ray
+
+    schema = ds.schema()   # before the sort: an all-empty sorted dataset
+    key_types = {k: schema.types[schema.names.index(k)] for k in keys}
+
+    sorted_ds = ds.sort(keys).materialize()
+    if sorted_ds.count() == 0:
+        empty = pa.Table.from_arrays(
+            [pa.array([], t) for t in schema.types]
+            + [pa.array([], pa.int64())], names=list(schema.names) + [out_col])
+        return ray.data.from_arrow(empty)
+
+    def _first_key(batch: pa.Table) -> str:
+        return json.dumps([str(batch.column(k)[0].as_py()) for k in keys])
+
+    def block_meta(batch: pa.Table) -> pa.Table:
+        cols = {"first": pa.array(
+            [] if batch.num_rows == 0 else [_first_key(batch)],
+            pa.large_string())}
+        # Typed first-key values: the offsets must be ordered by the SAME
+        # comparison the sort used — a stringified composite would order
+        # "100.5" before "99.2".
+        for k in keys:
+            cols[f"k_{k}"] = (pa.array([], key_types[k])
+                              if batch.num_rows == 0
+                              else batch.column(k).slice(0, 1))
+        cols["n"] = pa.array(
+            [] if batch.num_rows == 0 else [batch.num_rows], pa.int64())
+        return pa.table(cols)
+
+    # batch_size=None = one batch per block, so pass-1 boundaries are
+    # exactly the blocks pass 2 sees.
+    meta = sorted_ds.map_batches(block_meta, batch_size=None,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    meta.sort(key=lambda r: tuple(r[f"k_{k}"] for k in keys))
+    offsets: dict[str, int] = {}
+    acc = 0
+    for r in meta:
+        if r["first"] in offsets:
+            raise ValueError(
+                f"with_row_number needs a total order; composite "
+                f"{r['first']} starts two blocks (add a tiebreaker to keys)")
+        offsets[r["first"]] = acc
+        acc += r["n"]
+    off_ref = ray.put(offsets)
+
+    def number_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        base = _broadcast_from_ref(off_ref)[_first_key(batch)]
+        rn = np.arange(1, batch.num_rows + 1, dtype=np.int64) + base
+        return batch.append_column(out_col, pa.array(rn))
+
+    return sorted_ds.map_batches(number_block, batch_size=None,
+                                 batch_format="pyarrow", zero_copy_batch=True)
+
+
 def interval_count_join(left_ds, right_ds, *, by: str, on: str,
                         lo_offset: int, hi_offset: int,
                         left_cols: list[str],

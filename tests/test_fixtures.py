@@ -375,6 +375,68 @@ def test_asof_join_backward(ray_session):
     assert out[10]["t_r"] == 100 and out[11]["t_r"] == 40
 
 
+def test_with_row_number_matches_lexsort(ray_session):
+    """Global row numbers over a non-key float order + tiebreaker must equal
+    the numpy lexsort rank across many blocks; duplicated composites raise
+    loudly; empty input stays typed."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from engine.stages import with_row_number
+
+    rng = np.random.default_rng(13)
+    vals = rng.choice(np.linspace(0.5, 200.5, 80), size=500)  # heavy ties
+    ids = rng.permutation(500)
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array(vals, pa.float64()),
+        "id": pa.array(ids, pa.int64())})).repartition(9)
+    out = with_row_number(ds, ["v", "id"], out_col="rn").take_all()
+    order = np.lexsort((ids, vals))
+    want = {int(ids[j]): int(pos + 1) for pos, j in enumerate(order)}
+    assert {r["id"]: r["rn"] for r in out} == want
+
+    # Duplicated composites: if the sort splits the tie run across blocks
+    # the guard must raise; if Ray coalesces it into one block the
+    # numbering is still a valid permutation (within-tie order arbitrary).
+    dup = ray.data.from_arrow(pa.table({
+        "v": pa.array([1.0] * 40, pa.float64())})).repartition(4)
+    try:
+        rows = with_row_number(dup, ["v"]).take_all()
+    except ValueError as exc:
+        assert "total order" in str(exc)
+    else:
+        assert sorted(r["row_number"] for r in rows) == list(range(1, 41))
+
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert with_row_number(empty, ["v"]).count() == 0
+
+
+def test_ntile_exact_sizes_small_n(ray_session, tmp_path):
+    """NTILE tile sizes on n % k != 0: first n%k tiles get the extra row
+    (SQL rule), including the n < k edge."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import orders_value_quartile
+
+    for n in (3, 5, 6, 11):
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_totalprice": pa.array([float(100 + i) for i in range(n)]),
+        }), tmp_path / "orders.parquet")
+        got = {r["o_orderkey"]: r["quartile"]
+               for r in orders_value_quartile(str(tmp_path)).take_all()}
+        con = duckdb.connect()
+        want = dict(con.sql(
+            "SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, "
+            f"o_orderkey) FROM read_parquet('{tmp_path}/orders.parquet') "
+            "ORDER BY o_orderkey").fetchall())
+        assert got == want, n
+
+
 def test_interval_count_join_matches_bruteforce(ray_session):
     """Randomized range-count join vs an O(n*m) brute force: inclusive
     bounds at BOTH ends, asymmetric offsets, keys with zero right rows,
