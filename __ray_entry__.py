@@ -1179,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_zst_repair_events": q.jsonl_zst_repair_events,
         "token_stats_documents": q.token_stats_documents,
         "top_terms_per_document": q.top_terms_per_document,
+        "heavy_hitter_terms": q.heavy_hitter_terms_documents,
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
         "events_daily_by_type": q.events_daily_by_type,
         "csv_events_daily": q.csv_events_daily,
@@ -1261,10 +1262,11 @@ _ORACLE_PRIORITY = [
     "dedup_exact_documents", "distinct_users_by_type", "orphan_orders",
     "orders_per_segment", "top10_orders", "repair_extract_events",
     "jsonl_repair_events", "jsonl_gz_repair_events", "token_stats_documents",
-    "top_terms_per_document", "rolling_fingerprint", "events_daily_by_type",
+    "top_terms_per_document", "heavy_hitter_terms", "rolling_fingerprint",
+    "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
     "large_gap_events", "user_running_value", "orders_row_number",
-    "events_moving_avg", "events_hopping_window", "orders_rollup",
+    "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "purchase_attribution_nearest",
     "clicks_near_purchase", "revenue_by_segment_day",
@@ -1307,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_zst_repair_events": q.REPAIR_EXTRACT_SQL,
         "token_stats_documents": q.TOKEN_STATS_SQL,
         "top_terms_per_document": q.TOP_TERMS_SQL,
+        "heavy_hitter_terms": q.HEAVY_HITTERS_SQL,
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "csv_events_daily": q.EVENTS_DAILY_SQL,

@@ -404,3 +404,53 @@ def ks_statistic(expected: Histogram, observed: Histogram) -> float:
     e_cdf = np.cumsum(e) / max(e.sum(), 1.0)
     o_cdf = np.cumsum(o) / max(o.sum(), 1.0)
     return float(np.max(np.abs(e_cdf - o_cdf)))
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitter summary (mergeable form, Agarwal et al.,
+    "Mergeable Summaries", PODS 2012).
+
+    Holds at most ``capacity`` (item, count) pairs; after processing n items
+    every item with true frequency > n / (capacity + 1) is guaranteed
+    present, and each stored count underestimates the true count by at most
+    n / (capacity + 1).  ``merge`` sums counters then decrements everything
+    by the (capacity+1)-th largest count — the standard mergeable rule, so
+    per-batch partials combine associatively through tree reductions.
+    """
+
+    def __init__(self, capacity: int = 4096) -> None:
+        self.capacity = int(capacity)
+        self.counts: dict[str, int] = {}
+
+    def update(self, items: list[str], counts) -> None:
+        for item, c in zip(items, counts):
+            self.counts[item] = self.counts.get(item, 0) + int(c)
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        # Decrement by the (capacity+1)-th largest count and drop <= 0.
+        vals = sorted(self.counts.values(), reverse=True)
+        dec = vals[self.capacity]
+        self.counts = {k: v - dec for k, v in self.counts.items() if v > dec}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self._shrink()
+        return self
+
+    def candidates(self, k: int) -> list[str]:
+        """Top-k items by lower-bound count (ties: lexicographic)."""
+        return [t for t, _ in sorted(self.counts.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+    def state(self) -> dict:
+        return {"capacity": self.capacity, "counts": self.counts}
+
+    @classmethod
+    def from_state(cls, s: dict) -> "MisraGries":
+        mg = cls(s["capacity"])
+        mg.counts = {str(k): int(v) for k, v in s["counts"].items()}
+        return mg

@@ -360,3 +360,78 @@ def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
     return with_df.map_batches(add_part, batch_format="pyarrow",
                                zero_copy_batch=True) \
         .groupby("part").map_groups(topk_partition, batch_format="pyarrow")
+
+
+def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,
+                       candidate_factor: int = 4,
+                       text_col: str = "text"):
+    """Exact top-k most frequent terms via a two-pass heavy-hitter sketch.
+
+    Pass 1 streams one Misra-Gries partial state per batch (bounded:
+    ``capacity`` pairs each) through the bounded tree reduction; the merged
+    summary guarantees every term with frequency > n/(capacity+1) survives,
+    so for k << capacity the true top-k are inside the top
+    ``candidate_factor * k`` lower-bound candidates.  Pass 2 broadcasts the
+    candidate set and EXACT-counts only those terms (keyed tree reduce of
+    per-batch counts), so the output is exact and hash-matches a plain SQL
+    GROUP BY / ORDER BY / LIMIT oracle — the sketch buys two cheap scans
+    instead of a full-vocabulary term shuffle.
+
+    Ties order (count DESC, term ASC).  Returns a pyarrow Table
+    (term: string, cnt: int64) with an explicit schema.
+    """
+    import json as _json
+
+    import ray
+
+    from engine.checks.sketches import MisraGries
+    from engine.stages import _broadcast_from_ref, keyed_tree_reduce, \
+        tree_reduce_states
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        for t in batch.column(text_col).to_pylist():
+            words = TOKEN_RE.findall(t or "")
+            if not words:
+                continue
+            vals, cnts = np.unique(np.asarray(words, dtype=object),
+                                   return_counts=True)
+            mg.update([str(v) for v in vals], cnts)
+        return pa.table({"state": pa.array([_json.dumps(mg.state())],
+                                           pa.large_string())})
+
+    def mg_combine(states: list[dict]) -> dict:
+        merged = MisraGries.from_state(states[0])
+        for s in states[1:]:
+            merged.merge(MisraGries.from_state(s))
+        return merged.state()
+
+    partials = docs_ds.map_batches(mg_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    final_state = tree_reduce_states(partials, mg_combine)
+    if final_state is None:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand = set(MisraGries.from_state(final_state)
+               .candidates(candidate_factor * k))
+    cand_ref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cset = _broadcast_from_ref(cand_ref)
+        st: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in TOKEN_RE.findall(t or ""):
+                if w in cset:
+                    st[w] = st.get(w, 0) + 1
+        return pa.table({"state": pa.array([_json.dumps(st)],
+                                           pa.large_string())})
+
+    exact = keyed_tree_reduce(
+        docs_ds.map_batches(exact_partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        lambda a, b: a + b)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "term": pa.array([t for t, _ in top], pa.string()),
+        "cnt": pa.array([c for _, c in top], pa.int64()),
+    })

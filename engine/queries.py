@@ -807,6 +807,28 @@ def jsonl_zst_repair_events(sf_dir: str):
 # ------------------------------------------------------------- text analysis
 
 
+def heavy_hitter_terms_documents(sf_dir: str):
+    """Exact top-10 corpus terms via the two-pass Misra-Gries heavy-hitter
+    sketch (engine/ops/text.py:heavy_hitter_terms): pass 1 merges bounded
+    per-batch summaries, pass 2 exact-counts only the surviving candidates
+    — no full-vocabulary shuffle at any scale."""
+    from engine.ops.text import heavy_hitter_terms
+
+    return heavy_hitter_terms(
+        _read(sf_dir, "documents", columns=["text"]), k=10)
+
+
+HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '[^	
+ ]+')) AS term
+  FROM documents
+), c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+SELECT term, CAST(cnt AS BIGINT) AS cnt FROM c
+ORDER BY cnt DESC, term LIMIT 10
+"""
+
+
 def token_stats_documents(sf_dir: str):
     def count_tokens(batch: pa.Table) -> pa.Table:
         from engine.ops.text import TOKEN_RE

@@ -73,3 +73,66 @@ def test_drift_metrics_separate_shifted_distributions():
     moved.update(rng.normal(12, 3, 50_000))
     assert psi(base, same) < 0.01 < psi(base, moved)
     assert ks_statistic(base, same) < 0.02 < ks_statistic(base, moved)
+
+
+def test_misra_gries_guarantee_and_merge():
+    """Every item with frequency > n/(capacity+1) must survive, stored
+    counts are lower bounds within n/(capacity+1), and merging per-chunk
+    summaries preserves both (mergeable-summaries rule)."""
+    import numpy as np
+
+    from engine.checks.sketches import MisraGries
+
+    rng = np.random.default_rng(7)
+    stream = [f"t{int(i)}" for i in rng.zipf(1.3, 30000) if i < 3000]
+    n = len(stream)
+    cap = 128
+    from collections import Counter
+    true = Counter(stream)
+
+    merged = MisraGries(cap)
+    for lo in range(0, n, 2500):
+        part = MisraGries(cap)
+        chunk = stream[lo:lo + 2500]
+        vals, cnts = np.unique(np.asarray(chunk, dtype=object),
+                               return_counts=True)
+        part.update([str(v) for v in vals], cnts)
+        merged.merge(MisraGries.from_state(part.state()))
+
+    slack = n / (cap + 1)
+    for item, freq in true.items():
+        if freq > slack:
+            assert item in merged.counts, (item, freq, slack)
+        if item in merged.counts:
+            est = merged.counts[item]
+            assert est <= freq and freq - est <= slack, (item, freq, est)
+
+
+def test_heavy_hitter_terms_matches_exact(ray_session):
+    """The two-pass operator must return the EXACT top-k over a skewed
+    multi-block corpus (ties broken by term), even with a tiny capacity."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from engine.ops.text import TOKEN_RE, heavy_hitter_terms
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{j}" for j in range(400)]
+    docs = []
+    for _ in range(300):
+        ws = [vocab[min(int(z) - 1, 399)] for z in rng.zipf(1.2, 40)]
+        docs.append(" ".join(ws))
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    ds = ds.repartition(8)
+
+    got = heavy_hitter_terms(ds, k=10, capacity=64)
+    true = Counter(w for d in docs for w in TOKEN_RE.findall(d))
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.column("term").to_pylist(),
+                    got.column("cnt").to_pylist())) == want
+
+    empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = heavy_hitter_terms(empty, k=5)
+    assert out.num_rows == 0 and out.schema.field("cnt").type == pa.int64()
