@@ -1213,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality_documents": q.lang_quality_documents,
         "quality_scores_documents": q.quality_scores_documents,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
+        "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
         "drift_events_split": q.drift_events_split,
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
@@ -1262,10 +1263,11 @@ _ORACLE_PRIORITY = [
     "dedup_exact_documents", "distinct_users_by_type", "orphan_orders",
     "orders_per_segment", "top10_orders", "repair_extract_events",
     "jsonl_repair_events", "jsonl_gz_repair_events", "token_stats_documents",
-    "top_terms_per_document", "heavy_hitter_terms", "rolling_fingerprint",
+    "top_terms_per_document", "heavy_hitter_terms",
+    "mad_quantity_by_returnflag", "rolling_fingerprint",
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
-    "large_gap_events", "user_running_value", "orders_row_number",
+    "user_running_value", "orders_row_number",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "purchase_attribution_nearest",
@@ -1343,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality_documents": q.LANG_QUALITY_SQL,
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
+        "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
         "drift_events_split": q.DRIFT_EVENTS_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,

@@ -821,7 +821,8 @@ def heavy_hitter_terms_documents(sf_dir: str):
 HEAVY_HITTERS_SQL = r"""
 WITH t AS (
   SELECT unnest(regexp_extract_all(text, '[^	
- ]+')) AS term
+
+ ]+')) AS term
   FROM documents
 ), c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
 SELECT term, CAST(cnt AS BIGINT) AS cnt FROM c
@@ -2573,6 +2574,32 @@ UNION ALL
 SELECT n_name AS name, 'nation' AS kind FROM nation
 ORDER BY kind, name
 """
+
+def mad_quantity_by_returnflag(sf_dir: str):
+    """Exact grouped MEDIAN ABSOLUTE DEVIATION of l_quantity per return
+    flag — the robust-statistics companion of quantiles_by_returnflag,
+    derived from the same one-pass distributed value counts
+    (engine/stages.py:exact_group_mad; the deviation distribution re-keys
+    the counts driver-side, no second scan)."""
+    from engine.stages import exact_group_mad
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return exact_group_mad(ds, "l_returnflag", "l_quantity")
+
+
+MAD_QUANTITY_SQL = """
+WITH med AS (
+  SELECT l_returnflag,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY ABS(l.l_quantity - med.m))
+           AS mad
+FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
 
 def quantiles_by_returnflag(sf_dir: str):
     """EXACT grouped quantiles (no t-digest): lineitem quantity per return

@@ -551,6 +551,64 @@ def exact_group_quantiles(ds, key: str, value_col: str,
                         for name, col in out_cols.items()}})
 
 
+def exact_group_mad(ds, key: str, value_col: str) -> pa.Table:
+    """EXACT per-group median absolute deviation (median(|x - median(x)|),
+    both medians percentile_cont-interpolated) from ONE distributed
+    value-count pass — same bounded-domain contract as
+    exact_group_quantiles, and the deviation distribution is derived
+    driver-side from the very same counts (|v - med| just re-keys them),
+    so the robust statistic costs no second scan.
+
+    Returned values are exact dyadic rationals for integer domains
+    (median lands on halves, the deviation median on quarters), so the
+    result hash-matches a percentile_cont-defined SQL oracle without any
+    rounding."""
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key).to_pandas(),
+            "v": batch.column(value_col).to_numpy().astype(np.float64),
+        })
+        g = df.groupby(["k", "v"], sort=False, observed=True,
+                       dropna=False).size().reset_index(name="cnt")
+        return pa.table({key: pa.array(g["k"], pa.string()),
+                         value_col: pa.array(g["v"], pa.float64()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([key, value_col]).sum("cnt")
+    ).to_pandas()   # bounded by contract: groups x distinct values
+
+    def _median_from_counts(vals: np.ndarray, cnts: np.ndarray) -> float:
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        h = (n - 1) * 0.5
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        v_lo = vals[np.searchsorted(cum, lo, side="right")]
+        v_hi = vals[np.searchsorted(cum, hi, side="right")]
+        return float(v_lo + (v_hi - v_lo) * (h - lo))
+
+    out_keys: list[str] = []
+    out_mad: list[float] = []
+    for k, grp in counts.groupby(key, sort=True):
+        vals = grp[value_col].to_numpy()
+        cnts = grp["sum(cnt)"].to_numpy()
+        med = _median_from_counts(vals, cnts)
+        dev = np.abs(vals - med)
+        # Two values can land on the same deviation: merge their counts.
+        uniq, inv = np.unique(dev, return_inverse=True)
+        dev_cnts = np.bincount(inv, weights=cnts).astype(np.int64)
+        out_keys.append(k)
+        out_mad.append(_median_from_counts(uniq, dev_cnts))
+    return pa.table({key: pa.array(out_keys, pa.string()),
+                     "mad": pa.array(out_mad, pa.float64())})
+
+
 def _stage_half_away(x: float, decimals: int) -> float:
     """SQL ROUND semantics (half away from zero) for derived doubles."""
     scale = 10.0 ** decimals
