@@ -1187,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_multi_top5": q.knn_multi_top5,
         "sessionize_events": q.sessionize_events,
         "top_events_per_user": q.top_events_per_user,
+        "user_event_rank_stats": q.user_event_rank_stats,
         "large_gap_events": q.large_gap_events,
         "user_running_value": q.user_running_value,
         "orders_row_number": q.orders_row_number,
@@ -1261,13 +1262,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _ORACLE_PRIORITY = [
     "q1_pricing_summary", "grouped_stats_orderpriority",
     "dedup_exact_documents", "distinct_users_by_type", "orphan_orders",
-    "orders_per_segment", "top10_orders", "repair_extract_events",
+    "orders_per_segment", "repair_extract_events",
     "jsonl_repair_events", "jsonl_gz_repair_events", "token_stats_documents",
     "top_terms_per_document", "heavy_hitter_terms",
     "mad_quantity_by_returnflag", "rolling_fingerprint",
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
-    "user_running_value", "orders_row_number",
+    "user_running_value", "orders_row_number", "user_event_rank_stats",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "purchase_attribution_nearest",
@@ -1319,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_multi_top5": q.KNN_MULTI_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,
         "top_events_per_user": q.TOP_EVENTS_PER_USER_SQL,
+        "user_event_rank_stats": q.USER_EVENT_RANK_STATS_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,
         "user_running_value": q.USER_RUNNING_VALUE_SQL,
         "orders_row_number": q.ORDERS_ROW_NUMBER_SQL,

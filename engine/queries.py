@@ -1748,6 +1748,61 @@ ORDER BY user_id, event_id
 """
 
 
+def user_event_rank_stats(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST per event within its user's (ts, event_id)
+    order — the remaining SQL window-distribution functions, on the same
+    salted-partition one-pass shape as the rank/lag/session family.  Both
+    are exact IEEE divisions of small integers ((rank-1)/(n-1) and rank/n),
+    so the doubles hash-match DuckDB bit for bit; a single-row partition
+    defines PERCENT_RANK = 0 (SQL rule), no 0/0."""
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def rank_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "pct_rank": pa.array([], pa.float64()),
+                             "cume_dist": pa.array([], pa.float64())})
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid = uid[order], eid[order]
+        rank = _user_run_ranks(uid)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        size = np.repeat(counts, counts).astype(np.float64)
+        pct = np.where(size > 1, (rank - 1) / np.maximum(size - 1, 1), 0.0)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_id": pa.array(eid),
+            "pct_rank": pa.array(pct),
+            "cume_dist": pa.array(rank / size),
+        })
+
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part").map_groups(rank_partition, batch_format="pyarrow") \
+        .sort(["user_id", "event_id"])
+
+
+USER_EVENT_RANK_STATS_SQL = """
+SELECT user_id, event_id,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
 def top_events_per_user(sf_dir: str, k: int = 3):
     """Windowed rank (ROW_NUMBER PARTITION BY user ORDER BY value DESC,
     event_id) keeping the top-k rows per user — the windowed-aggregate
