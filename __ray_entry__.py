@@ -1215,6 +1215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_documents": q.quality_scores_documents,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
+        "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
+        "mode_quantity_by_returnflag": q.mode_quantity_by_returnflag,
         "drift_events_split": q.drift_events_split,
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
@@ -1268,7 +1270,7 @@ _ORACLE_PRIORITY = [
     "mad_quantity_by_returnflag", "rolling_fingerprint",
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
-    "user_running_value", "orders_row_number", "user_event_rank_stats",
+    "user_running_value", "orders_row_number", "lineitem_quantity_ranks",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "purchase_attribution_nearest",
@@ -1348,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
+        "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,
+        "mode_quantity_by_returnflag": q.MODE_QUANTITY_SQL,
         "drift_events_split": q.DRIFT_EVENTS_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,

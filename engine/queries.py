@@ -2630,6 +2630,54 @@ SELECT n_name AS name, 'nation' AS kind FROM nation
 ORDER BY kind, name
 """
 
+def lineitem_quantity_ranks(sf_dir: str):
+    """Row-level RANK / DENSE_RANK of l_quantity within each return flag
+    (heavy ties — 50 distinct quantities over 10^5+ rows per flag) WITHOUT
+    shuffling the fact table: per-group rank maps derived from the bounded
+    value counts broadcast once, a stateless scan annotates every row
+    (engine/stages.py:grouped_value_ranks)."""
+    from engine.stages import grouped_value_ranks
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+    return grouped_value_ranks(
+        ds, "l_returnflag", "l_quantity",
+        carry_cols=["l_orderkey", "l_linenumber", "l_returnflag",
+                    "l_quantity"]).sort(["l_orderkey", "l_linenumber"])
+
+
+LINEITEM_QUANTITY_RANKS_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS dense_rnk
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def mode_quantity_by_returnflag(sf_dir: str):
+    """Exact per-group MODE of l_quantity (ties -> smallest value), from
+    the same bounded value counts as the quantile/MAD family."""
+    from engine.stages import exact_group_mode
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return exact_group_mode(ds, "l_returnflag", "l_quantity")
+
+
+MODE_QUANTITY_SQL = """
+WITH c AS (SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+r AS (SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v) AS rn
+      FROM c)
+SELECT l_returnflag, v AS mode_value FROM r WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
 def mad_quantity_by_returnflag(sf_dir: str):
     """Exact grouped MEDIAN ABSOLUTE DEVIATION of l_quantity per return
     flag — the robust-statistics companion of quantiles_by_returnflag,

@@ -609,6 +609,98 @@ def exact_group_mad(ds, key: str, value_col: str) -> pa.Table:
                      "mad": pa.array(out_mad, pa.float64())})
 
 
+def group_value_counts(ds, key: str, value_col: str):
+    """Distributed (key, value) -> count table as a driver pandas frame —
+    the shared first stage of the bounded-domain statistics family
+    (exact quantiles, MAD, mode, rank maps).  Same contract: the value
+    domain must be bounded-cardinality, making the driver intake
+    O(groups x distinct)."""
+    import pandas as pd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key).to_pandas(),
+            "v": batch.column(value_col).to_numpy().astype(np.float64),
+        })
+        g = df.groupby(["k", "v"], sort=False, observed=True,
+                       dropna=False).size().reset_index(name="cnt")
+        return pa.table({key: pa.array(g["k"], pa.string()),
+                         value_col: pa.array(g["v"], pa.float64()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([key, value_col]).sum("cnt")
+    ).to_pandas()
+
+
+def grouped_value_ranks(ds, key: str, value_col: str, *,
+                        carry_cols: list[str],
+                        rank_col: str = "rnk",
+                        dense_col: str = "dense_rnk"):
+    """Row-level RANK() / DENSE_RANK() (PARTITION BY key ORDER BY value)
+    WITHOUT shuffling the rows: the bounded (key, value) count table yields
+    each group's rank map driver-side (RANK(v) = 1 + count of smaller
+    values — SQL tie semantics; DENSE = index among distinct values), the
+    maps broadcast once, and a stateless scan annotates every row via
+    searchsorted.  The fact table never moves — only the count partials do.
+    """
+    import ray
+
+    counts = group_value_counts(ds, key, value_col)
+    maps: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for k, grp in counts.groupby(key, sort=True):
+        grp = grp.sort_values(value_col)
+        vals = grp[value_col].to_numpy()
+        cnts = grp["sum(cnt)"].to_numpy()
+        rnk = np.concatenate([[0], cnts.cumsum()[:-1]]) + 1
+        dense = np.arange(1, vals.size + 1, dtype=np.int64)
+        maps[str(k)] = (vals, rnk.astype(np.int64), dense)
+    maps_ref = ray.put(maps)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        m = _broadcast_from_ref(maps_ref)
+        keys = batch.column(key).to_pylist()
+        vals = batch.column(value_col).to_numpy().astype(np.float64)
+        rnk = np.empty(batch.num_rows, dtype=np.int64)
+        dense = np.empty(batch.num_rows, dtype=np.int64)
+        # group row indices per key so each group's lookup is one
+        # vectorized searchsorted, not a per-row dict probe
+        import pandas as pd
+
+        for k, idx in pd.Series(np.arange(len(keys))).groupby(
+                pd.Series(keys)).indices.items():
+            gv, gr, gd = m[str(k)]
+            pos = np.searchsorted(gv, vals[idx])
+            rnk[idx] = gr[pos]
+            dense[idx] = gd[pos]
+        cols = {c: batch.column(c) for c in carry_cols}
+        cols[rank_col] = pa.array(rnk)
+        cols[dense_col] = pa.array(dense)
+        return pa.table(cols)
+
+    return ds.map_batches(annotate, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def exact_group_mode(ds, key: str, value_col: str) -> pa.Table:
+    """Exact per-group MODE (most frequent value; ties -> smallest value)
+    from the shared bounded-domain value counts."""
+    counts = group_value_counts(ds, key, value_col)
+    out_keys: list[str] = []
+    out_mode: list[float] = []
+    for k, grp in counts.groupby(key, sort=True):
+        grp = grp.sort_values([key, value_col])
+        vals = grp[value_col].to_numpy()
+        cnts = grp["sum(cnt)"].to_numpy()
+        best = np.lexsort((vals, -cnts))[0]
+        out_keys.append(str(k))
+        out_mode.append(float(vals[best]))
+    return pa.table({key: pa.array(out_keys, pa.string()),
+                     "mode_value": pa.array(out_mode, pa.float64())})
+
+
 def _stage_half_away(x: float, decimals: int) -> float:
     """SQL ROUND semantics (half away from zero) for derived doubles."""
     scale = 10.0 ** decimals
@@ -1025,6 +1117,10 @@ def interval_count_join(left_ds, right_ds, *, by: str, on: str,
     """
     import pandas as pd
 
+    if lo_offset > hi_offset:
+        raise ValueError(
+            f"empty interval: lo_offset {lo_offset} > hi_offset {hi_offset} "
+            "(the rank-scan difference would go negative)")
     n_parts = num_partitions or shuffle_partitions(
         left_ds.select_columns([by]).count())
     left_schema = left_ds.schema()
