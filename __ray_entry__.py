@@ -1190,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_rank_stats": q.user_event_rank_stats,
         "large_gap_events": q.large_gap_events,
         "user_running_value": q.user_running_value,
+        "user_first_last_event": q.user_first_last_event,
         "orders_row_number": q.orders_row_number,
         "orders_value_quartile": q.orders_value_quartile,
         "cap_events_per_user": q.cap_events_per_user,
@@ -1325,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_rank_stats": q.USER_EVENT_RANK_STATS_SQL,
         "large_gap_events": q.LARGE_GAP_SQL,
         "user_running_value": q.USER_RUNNING_VALUE_SQL,
+        "user_first_last_event": q.USER_FIRST_LAST_SQL,
         "orders_row_number": q.ORDERS_ROW_NUMBER_SQL,
         "orders_value_quartile": q.ORDERS_VALUE_QUARTILE_SQL,
         "cap_events_per_user": q.CAP_EVENTS_SQL,

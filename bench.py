@@ -109,6 +109,9 @@ QUERY_BENCH_NAMES = [
     "tdigest_quantity", "sessionize_events", "revenue_by_segment_day",
     # round-3 curation family (fast representatives)
     "top_terms_per_document", "large_gap_events", "distinct_users_by_type",
+    # round-4 operators (one representative per new family)
+    "orders_grouping_sets", "clicks_near_purchase", "heavy_hitter_terms",
+    "orders_row_number", "jsonl_gz_repair_events",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single

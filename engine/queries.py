@@ -1628,6 +1628,61 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def user_first_last_event(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user over the (ts, event_id) frame —
+    the navigation-aggregate pair (arg-min/arg-max by time): each user's
+    first and last event id plus event count, one salted-partition pass
+    (lexsort + run boundaries)."""
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def firstlast_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first_event_id": pa.array([], pa.int64()),
+                             "last_event_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid = uid[order], eid[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "first_event_id": pa.array(eid[starts]),
+            "last_event_id": pa.array(eid[ends]),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part").map_groups(firstlast_partition,
+                                    batch_format="pyarrow") \
+        .sort("user_id")
+
+
+USER_FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+  FIRST_VALUE(event_id) OVER w AS first_event_id,
+  LAST_VALUE(event_id) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS last_event_id,
+  CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id
+"""
+
+
 def user_running_value(sf_dir: str):
     """Window RUNNING aggregate (SUM ... ROWS UNBOUNDED PRECEDING): each
     event's cumulative value for its user in (ts, event_id) order — the
