@@ -916,6 +916,66 @@ ORDER BY img_id
 """
 
 
+GIF_METADATA_N = 2048
+
+GIF_METADATA_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
+geo AS (SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 37 AS h FROM ids),
+px AS (
+  SELECT g.i,
+    SUM(CAST((p.x + 2 * p.y + g.i) % 256 AS BIGINT)
+      + CAST((p.x + 2 * p.y + g.i + 85) % 256 AS BIGINT)
+      + CAST((p.x + 2 * p.y + g.i + 170) % 256 AS BIGINT)) AS s,
+    COUNT(*) * 3 AS nvals
+  FROM geo g JOIN (SELECT a.range AS x, b.range AS y
+                   FROM range(0, 64) a CROSS JOIN range(0, 52) b) p
+    ON p.x < g.w AND p.y < g.h
+  GROUP BY g.i
+)
+SELECT g.i AS img_id, 'gif' AS img_format,
+  CAST(g.w AS INTEGER) AS width, CAST(g.h AS INTEGER) AS height,
+  CASE WHEN g.i % 3 = 2 THEN 'RGBA' ELSE 'RGB' END AS mode,
+  ROUND(CAST(px.s AS DOUBLE) / px.nvals, 3) AS mean_lum,
+  TRUE AS decode_ok
+FROM geo g JOIN px ON px.i = g.i
+ORDER BY img_id
+"""
+
+
+def _gif_image_metadata(sf_dir: str):
+    """Hash-oracled GIF decode (round-4): the gradient GIF corpus
+    (engine/data/images.py:synth_gif — real LZW compression, every 3rd
+    image with a transparent index exercising the RGBA path) must decode
+    through the variable-width LZW in engine/image.py to the closed-form
+    pixel statistics the DuckDB oracle recomputes over a range() grid."""
+    import ray.data
+
+    from engine.data.images import synth_gif_batch
+    from engine.ops.multimodal import ImageDecodeStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(GIF_METADATA_N).map_batches(
+        synth_gif_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 4))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "img_id": t.column("img_id"),
+            "img_format": t.column("img_format"),
+            "width": t.column("width"),
+            "height": t.column("height"),
+            "mode": t.column("mode"),
+            "mean_lum": pa.array(_half_away_round(
+                t.column("mean_lum").to_numpy(zero_copy_only=False), 3),
+                pa.float64()),
+            "decode_ok": t.column("decode_ok"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("img_id")
+
+
 PNG_METADATA_N = 2048
 
 
@@ -1233,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": _rolling_fingerprint,
         "image_metadata": _image_metadata,
         "png_image_metadata": _png_image_metadata,
+        "gif_image_metadata": _gif_image_metadata,
         "image_resize": _image_resize,
         "video_frame_sample": _video_frame_sample,
         "clips_verdicts_vs_planted": _clips_verdicts_vs_planted,
@@ -1369,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": ROLLING_FP_SQL,
         "image_metadata": IMAGE_METADATA_SQL,
         "png_image_metadata": PNG_METADATA_SQL,
+        "gif_image_metadata": GIF_METADATA_SQL,
         "image_resize": IMAGE_RESIZE_SQL,
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
         "clips_verdicts_vs_planted": CLIPS_VERDICTS_PLANTED_SQL,

@@ -91,6 +91,31 @@ def synth_png_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
     })
 
 
+def synth_gif(i: int) -> bytes:
+    """GIF for image id i: the palette decodes index v to the SAME RGB
+    gradient as the PNG corpus (palette[j] = (j, j+85, j+170) mod 256,
+    idx = (x + 2y + i) % 256), every 3rd image carries a transparent index
+    (RGBA decode path).  Closed-form mean luminance, SQL-oracle-able."""
+    from engine.image import encode_gif
+
+    w, h = image_dims(i)
+    y, x = np.mgrid[0:h, 0:w]
+    idx = ((x + 2 * y + i) % 256).astype(np.uint8)
+    j = np.arange(256, dtype=np.uint16)
+    pal = np.stack([j % 256, (j + 85) % 256, (j + 170) % 256],
+                   axis=1).astype(np.uint8)
+    transparent = 7 if i % 3 == 2 else None
+    return encode_gif(idx, pal, transparent=transparent)
+
+
+def synth_gif_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    return pa.table({
+        "img_id": pa.array(ids, pa.int64()),
+        "image": pa.array([synth_gif(int(i)) for i in ids], pa.large_binary()),
+    })
+
+
 def video_frames(i: int) -> int:
     return 3 + i % 6
 

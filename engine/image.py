@@ -1,5 +1,6 @@
-"""Pure-numpy image codecs: baseline PNG (8-bit, all five scanline
-filters, palette/gray/RGB/RGBA, stdlib-zlib inflate), PPM/PGM (binary),
+"""Pure image codecs: baseline PNG (8-bit, all five scanline filters,
+palette/gray/RGB/RGBA, stdlib-zlib inflate), GIF87a/89a (variable-width
+LZW incl. the KwKwK case, interlace, transparency), PPM/PGM (binary),
 BMP (24-bit uncompressed), TGA (type-2 uncompressed, 24/32bpp).
 
 Makes the image path of the multimodal pipeline REAL without Pillow
@@ -386,12 +387,240 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray, *,
             + _png_chunk(b"IEND", b""))
 
 
+# ------------------------------------------------------------------------ GIF
+#
+# GIF87a/89a from public knowledge (the GIF89a specification): global/local
+# color tables, variable-width LZW with CLEAR/EOI codes and the deferred
+# (code == next_code, "KwKwK") case, interlace pass order, GCE transparency.
+# Decodes the FIRST image block (the still-image contract; animation frame
+# sampling lives in the video family).
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytes:
+    """GIF-variant LZW: codes are LSB-first, width grows from min_code+1 to
+    12 bits as the dictionary fills, CLEAR resets, EOI terminates."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                # Missing EOI: tolerated (many real encoders truncate).
+                return bytes(out[:expected])
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]          # the deferred KwKwK case
+        else:
+            raise ImageDecodeError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+        if len(out) >= expected:
+            break
+    if len(out) < expected:
+        raise ImageDecodeError(
+            f"LZW stream ended early: {len(out)} of {expected} pixels")
+    return bytes(out[:expected])
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    out = np.empty_like(idx)
+    rows = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+    out[rows] = idx
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First image of a GIF87a/89a → (h, w, 3) RGB, or (h, w, 4) RGBA when
+    a graphic-control extension marks a transparent index."""
+    if data[:6] not in _GIF_SIGS:
+        raise ImageDecodeError("not a GIF")
+    if len(data) < 13:
+        raise ImageDecodeError("truncated GIF header")
+    flags = data[10]
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    transparent: int | None = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                        # trailer
+            break
+        if block == 0x21:                        # extension
+            if pos >= len(data):
+                raise ImageDecodeError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            subs = []
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                subs.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1                             # block terminator
+            if label == 0xF9 and subs and len(subs[0]) >= 4 \
+                    and subs[0][0] & 0x01:
+                transparent = subs[0][3]
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ImageDecodeError("truncated GIF image descriptor")
+        w = struct.unpack_from("<H", data, pos + 4)[0]
+        h = struct.unpack_from("<H", data, pos + 6)[0]
+        iflags = data[pos + 8]
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
+            pos += size * 3
+        if pal is None:
+            raise ImageDecodeError("GIF image without a color table")
+        if w == 0 or h == 0 or pos >= len(data):
+            raise ImageDecodeError("bad GIF image geometry")
+        min_code = data[pos]
+        pos += 1
+        if not (2 <= min_code <= 11):
+            raise ImageDecodeError(f"bad GIF LZW min code {min_code}")
+        stream = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            stream += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(stream), min_code, w * h),
+            np.uint8).reshape(h, w)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ImageDecodeError("GIF palette index out of range")
+        rgb = pal[idx]
+        if transparent is not None and transparent < pal.shape[0]:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.ascontiguousarray(
+                np.concatenate([rgb, alpha[:, :, None]], axis=2))
+        return np.ascontiguousarray(rgb)
+    raise ImageDecodeError("GIF has no image block")
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Real variable-width GIF LZW (greedy longest-match dictionary)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    emit(clear, code_size)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            # Width grows when next_code EXCEEDS the current code range —
+            # mirrored by the decoder growing at len(table) == 2^size.
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray, *,
+               transparent: int | None = None) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) palette → GIF89a bytes."""
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expect (h, w) indices and (n, 3) palette")
+    h, w = idx.shape
+    depth = max(1, int(np.ceil(np.log2(max(pal.shape[0], 2)))))
+    padded = np.zeros((1 << depth, 3), np.uint8)
+    padded[:pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += padded.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent & 0xFF, 0])
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(2, depth)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(idx.tobytes(), min_code)
+    for lo in range(0, len(lzw), 255):
+        chunk = lzw[lo:lo + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 # -------------------------------------------------------------------- dispatch
 
 
 def sniff_format(data: bytes) -> str | None:
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:6] in _GIF_SIGS:
+        return "gif"
     if data[:2] in (b"P5", b"P6"):
         return "pnm"
     if data[:2] == b"BM":
@@ -406,6 +635,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     fmt = sniff_format(data or b"")
     if fmt == "png":
         return decode_png(data), "png"
+    if fmt == "gif":
+        return decode_gif(data), "gif"
     if fmt == "pnm":
         return decode_pnm(data), "pnm"
     if fmt == "bmp":

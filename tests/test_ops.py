@@ -336,6 +336,91 @@ def test_png_codec_roundtrip_all_filters():
                    + chunk(b"IEND", b""))
 
 
+def test_gif_codec_roundtrip_lzw_interlace_transparency():
+    """GIF round trip across LZW edge cases: code-width growth to 12 bits
+    and the 4096-entry dictionary reset (300x300 random), the deferred
+    code==next_code (KwKwK) case (constant image), an INDEPENDENT
+    clear-before-every-literal writer (spec-trivial stream — validates the
+    decoder without trusting the compressing encoder), interlace pass
+    order, and GCE transparency -> RGBA."""
+    import struct
+
+    import numpy as np
+
+    from engine.image import decode_gif, decode_image, encode_gif, sniff_format
+
+    rng = np.random.default_rng(9)
+    for shape, ncol in [((5, 7), 4), ((33, 17), 16), ((300, 300), 32),
+                        ((1, 1), 2), ((64, 1), 256)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=shape, dtype=np.uint8)
+        data = encode_gif(idx, pal)
+        assert sniff_format(data) == "gif"
+        assert (decode_gif(data) == pal[idx]).all(), (shape, ncol)
+
+    # constant image: every step hits the just-defined dictionary entry
+    idx = np.zeros((40, 40), np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    # independent writer: CLEAR before every literal code
+    def naive_gif(idx, pal, min_code):
+        clear = 1 << min_code
+        eoi = clear + 1
+        size = min_code + 1
+        acc = nb = 0
+        out = bytearray()
+
+        def emit(c):
+            nonlocal acc, nb
+            acc |= c << nb
+            nb += size
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        for px in idx.flatten():
+            emit(clear)
+            emit(int(px))
+        emit(eoi)
+        if nb:
+            out.append(acc & 0xFF)
+        h, w = idx.shape
+        padded = np.zeros((8, 3), np.uint8)
+        padded[:pal.shape[0]] = pal
+        g = bytearray(b"GIF89a") + struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0) \
+            + padded.tobytes()
+        g += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+        for lo in range(0, len(out), 255):
+            chunk = out[lo:lo + 255]
+            g.append(len(chunk))
+            g += chunk
+        g += b"\x00\x3B"
+        return bytes(g)
+
+    idx = rng.integers(0, 8, size=(23, 11), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    assert (decode_gif(naive_gif(idx, pal, 3)) == pal[idx]).all()
+
+    # interlace: pre-permute rows so deinterlacing restores them
+    h, w = 19, 9
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    rows = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+    data = bytearray(encode_gif(idx[rows], pal))
+    pos = data.index(0x2C, 13 + 4 * 3)
+    data[pos + 9] |= 0x40
+    assert (decode_gif(bytes(data)) == pal[idx]).all()
+
+    # transparency -> RGBA through the shared dispatch
+    data = encode_gif(idx, pal, transparent=2)
+    out, fmt = decode_image(data)
+    assert fmt == "gif" and out.shape == (h, w, 4)
+    assert (out[:, :, 3] == np.where(idx == 2, 0, 255)).all()
+
+
 def test_image_codecs_reject_garbage():
     import pytest as _pytest
 
