@@ -670,6 +670,68 @@ def _g711_audio_features(sf_dir: str):
                            zero_copy_batch=True).sort("aud_id")
 
 
+ADPCM_FEATURES_N = 4096
+
+ADPCM_FEATURES_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+base AS (
+  SELECT i,
+    32 + 4 * (i % 8) AS ba,
+    2 + (i % 3) AS nb,
+    CASE WHEN i % 5 = 4 THEN 1 + (i % 7) ELSE 0 END AS t,
+    CASE (1 + (i % 3)) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 4 END AS d,
+    (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) * (10 + (i * 37) % 20000) AS p
+  FROM ids
+), g AS (
+  SELECT i, d, p,
+    nb * (2 * (ba - 4) + 1) - t AS n,
+    (nb - 1) * (ba - 4) + ((2 * (ba - 4) + 1) - t) // 2 AS c_hi
+  FROM base
+)
+SELECT i AS aud_id, 'adpcm' AS codec, TRUE AS decode_ok,
+  CAST(n AS BIGINT) AS n_samples,
+  ROUND(SQRT((c_hi * POW(CAST(CAST((p + d) AS DOUBLE) / 32767.0 AS REAL), 2)
+      + (n - c_hi) * POW(CAST(CAST(p AS DOUBLE) / 32767.0 AS REAL), 2))
+      / n), 4) AS rms,
+  0.0 AS zero_cross_rate
+FROM g ORDER BY aud_id
+"""
+
+
+def _adpcm_audio_features(sf_dir: str):
+    """Hash-oracled IMA-ADPCM decode (round-4): the crafted nibble corpus
+    (engine/data/audio_synth.py:synth_adpcm — block headers pin the step
+    index at 0 so the decoded stream is P, P+d, P, ... in closed form)
+    must decode through the REAL vectorized IMA state machine in
+    engine/audio.py (byte-exact vs stdlib audioop in tests) to the rms/zcr
+    the DuckDB oracle recomputes from pure integer arithmetic on i."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_adpcm_batch
+    from engine.ops.multimodal import AudioFeatureStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(ADPCM_FEATURES_N).map_batches(
+        synth_adpcm_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_samples": t.column("n_samples"),
+            "rms": pa.array(_half_away_round(
+                t.column("rms").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            "zero_cross_rate": t.column("zero_cross_rate"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
 AUDIO_FEATURES_N = 4096
 
 AUDIO_FEATURES_SQL = """
@@ -1282,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
         "g711_audio_features": _g711_audio_features,
+        "adpcm_audio_features": _adpcm_audio_features,
         "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
@@ -1335,9 +1398,10 @@ _ORACLE_PRIORITY = [
     "user_running_value", "orders_row_number", "lineitem_quantity_ranks",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
-    "purchase_attribution_forward", "purchase_attribution_nearest",
-    "clicks_near_purchase", "revenue_by_segment_day",
+    "purchase_attribution_forward", "clicks_near_purchase",
+    "revenue_by_segment_day",
     "union_region_nation_names", "g711_audio_features",
+    "adpcm_audio_features",
     "stratified_sample_documents", "long_tail_documents",
     "lang_quality_documents", "quantiles_by_returnflag",
     "drift_events_split", "audio_features", "audio_chunks",
@@ -1419,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "g711_audio_features": G711_FEATURES_SQL,
+        "adpcm_audio_features": ADPCM_FEATURES_SQL,
         "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,

@@ -107,6 +107,65 @@ def synth_g711_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def synth_adpcm(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for IMA-ADPCM clip i: a crafted nibble
+    stream whose decode is closed-form.  Every block header carries
+    (predictor P, step index 0); the nibbles alternate magnitude m and
+    m|8 (same magnitude, opposite sign).  For m < 4 the IMA index table
+    entry is -1, so the index stays clamped at 0 and the step stays 7
+    forever — the decoded samples are exactly P, P+d, P, P+d, ... with
+    d = vpdiff(m, step=7) ∈ {1: 1, 2: 3, 3: 4}.  rms/zcr are then pure
+    integer closed forms of i that DuckDB recomputes (ADPCM's sequential
+    state machine is otherwise not SQL-expressible), exactly the G.711
+    crafted-byte trick above.  Clips with i % 5 == 4 get a fact-chunk trim
+    (n < whole blocks) to exercise the partial-final-block path."""
+    from engine.audio import _WAVE_FMT_IMA_ADPCM
+
+    ba = 32 + 4 * (i % 8)                    # block_align 32..60 bytes
+    spb = 2 * (ba - 4) + 1
+    nb = 2 + (i % 3)
+    t = (1 + (i % 7)) if i % 5 == 4 else 0   # samples trimmed by fact
+    n = nb * spb - t
+    m = 1 + (i % 3)                          # nibble magnitude 1..3
+    sign = 1 if i % 2 == 0 else -1
+    p = sign * (10 + (i * 37) % 20000)
+    sr = SRS[i % 4]
+    block = bytearray(ba)
+    block[0] = p & 0xFF
+    block[1] = (p >> 8) & 0xFF
+    block[2] = 0                             # step index 0 (clamped forever)
+    lo, hi = m, m | 8                        # +d then -d
+    for j in range(4, ba):
+        block[j] = lo | (hi << 4)
+    data = bytes(block) * nb
+    byte_rate = max(1, sr * ba // spb)
+    fmt = (
+        _WAVE_FMT_IMA_ADPCM.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + ba.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + spb.to_bytes(2, "little"))
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    body = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt + fact
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return (b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
+            + body), "adpcm"
+
+
+def synth_adpcm_batch(batch: pa.Table) -> pa.Table:
+    """ray.data.range(n) batch → (aud_id, bytes, codec) IMA-ADPCM rows."""
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_adpcm(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })
+
+
 def synth_audio_batch(batch: pa.Table) -> pa.Table:
     """ray.data.range(n) batch → (aud_id, bytes, codec) rows."""
     ids = batch.column("id").to_numpy()
