@@ -732,6 +732,65 @@ def _adpcm_audio_features(sf_dir: str):
                            zero_copy_batch=True).sort("aud_id")
 
 
+FLAC_FEATURES_N = 2048
+
+FLAC_FEATURES_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
+b AS (
+  SELECT i, i % 3 AS c,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    100 + (i * 37) % 400 AS dur,
+    5000 + (i % 60) * 400 AS k
+  FROM ids
+), g AS (
+  SELECT i, c, (sr * dur) // 1000 AS n,
+    CAST(CAST(CAST(k AS DOUBLE) / 32767.0 AS REAL) AS DOUBLE) AS v
+  FROM b
+)
+SELECT i AS aud_id, 'flac' AS codec, TRUE AS decode_ok,
+  CAST(n AS BIGINT) AS n_samples,
+  ROUND(v, 4) AS rms,
+  CASE c WHEN 0 THEN 0.0 WHEN 1 THEN 1.0
+       ELSE CAST((n - 1) // 2 AS DOUBLE) / (n - 1) END AS zero_cross_rate
+FROM g ORDER BY aud_id
+"""
+
+
+def _flac_audio_features(sf_dir: str):
+    """Hash-oracled REAL-FLAC decode (round-4): the two-valued corpus
+    (engine/data/audio_synth.py:synth_flac — CONSTANT / FIXED subframes,
+    Rice residuals, CRC-8/CRC-16/MD5 all verified on decode) must decode
+    LOSSLESSLY through engine/flac.py to the closed-form rms/zcr the
+    DuckDB oracle recomputes from i (lossless ⇒ decoded ints == synthetic
+    ints exactly, so the oracle needs no codec model at all)."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_flac_batch
+    from engine.ops.multimodal import AudioFeatureStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(FLAC_FEATURES_N).map_batches(
+        synth_flac_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=128, concurrency=(1, 8))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_samples": t.column("n_samples"),
+            "rms": pa.array(_half_away_round(
+                t.column("rms").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            "zero_cross_rate": t.column("zero_cross_rate"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
 AUDIO_FEATURES_N = 4096
 
 AUDIO_FEATURES_SQL = """
@@ -1345,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _audio_features,
         "g711_audio_features": _g711_audio_features,
         "adpcm_audio_features": _adpcm_audio_features,
+        "flac_audio_features": _flac_audio_features,
         "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
@@ -1407,8 +1467,8 @@ _ORACLE_PRIORITY = [
     "drift_events_split", "audio_features", "audio_chunks",
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
     "embedding_near_dup_exact", "image_dims", "image_metadata",
-    "image_resize", "png_image_metadata", "video_dims",
-    "video_frame_sample", "clips_verdicts_vs_planted",
+    "image_resize", "png_image_metadata",
+    "flac_audio_features", "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
 ]
 
@@ -1484,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": AUDIO_FEATURES_SQL,
         "g711_audio_features": G711_FEATURES_SQL,
         "adpcm_audio_features": ADPCM_FEATURES_SQL,
+        "flac_audio_features": FLAC_FEATURES_SQL,
         "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,

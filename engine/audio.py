@@ -7,11 +7,12 @@ The clips table carries encoded audio as an opaque ``binary`` column
     validator can recompute the reference signal without shipping it;
   - a minimal RIFF/WAV encoder + vectorized decoder for PCM16 / PCM8
     (stdlib-free fast path: numpy.frombuffer on the data chunk);
-  - stubbed decode for compressed codecs (opus/flac) — the codec libraries
-    are not in this container, so those bytes are WAV payloads tagged with
-    the compressed codec name and decoded through a clearly-marked
-    deterministic fake (`StubCodecDecoder`); the Ray-side plumbing (schema,
-    actor signature, batch layout) is real and tested;
+  - REAL IMA/DVI ADPCM (vectorized block codec, below) and REAL FLAC
+    (engine/flac.py — lossless, Rice-coded, CRC+MD5-verified);
+  - stubbed decode for opus only — libopus is not in this container, so
+    opus bytes are WAV payloads tagged with the codec name and decoded
+    through a clearly-marked deterministic fake (`StubCodecDecoder`); the
+    Ray-side plumbing (schema, actor signature, batch layout) is real;
   - the per-row invariant from the north rule: decoded-PCM allclose with
     SNR >= 30 dB against the recomputed reference signal.
 """
@@ -23,8 +24,9 @@ import numpy as np
 PCM_CODECS = ("pcm16", "pcm8")
 G711_CODECS = ("ulaw", "alaw")       # telephony companding, real decode below
 ADPCM_CODECS = ("adpcm",)            # IMA/DVI ADPCM, real codec below
-STUB_CODECS = ("opus", "flac")
-ALL_CODECS = PCM_CODECS + STUB_CODECS
+FLAC_CODECS = ("flac",)              # real lossless codec, engine/flac.py
+STUB_CODECS = ("opus",)              # no libopus in this container
+ALL_CODECS = PCM_CODECS + STUB_CODECS + FLAC_CODECS
 
 _WAV_FMT = {"pcm16": (16, np.int16), "pcm8": (8, np.uint8)}
 
@@ -376,13 +378,13 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
 
 
 class StubCodecDecoder:
-    """Deterministic FAKE decoder for compressed codecs (opus/flac).
+    """Deterministic FAKE decoder for the one remaining stub codec (opus).
 
-    The real codec libraries are not installed in this environment; in this
-    corpus, compressed-codec rows carry a WAV payload tagged with the codec
-    name, so the stub simply strips the tag and decodes WAV.  Swap this class
-    for a real binding (e.g. soundfile/pyogg) in production — the actor-pool
-    stage signature stays identical.
+    libopus is not installed in this environment; in this corpus,
+    opus-tagged rows carry a WAV payload, so the stub simply strips the tag
+    and decodes WAV.  Swap this class for a real binding (e.g. pyogg) in
+    production — the actor-pool stage signature stays identical.  (flac is
+    REAL — engine/flac.py — and dispatches by container magic below.)
     """
 
     def __init__(self, codec: str) -> None:
@@ -394,8 +396,35 @@ class StubCodecDecoder:
         return decode_wav(raw)
 
 
+def decode_flac_signal(raw: bytes) -> tuple[np.ndarray, int]:
+    """Real FLAC decode (engine/flac.py) → float32 signal in [-1, 1]."""
+    from engine.flac import decode_flac
+
+    pcm, sr_hz = decode_flac(raw)
+    return pcm.astype(np.float32) / 32767.0, sr_hz
+
+
+def encode_audio(signal: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    """float [-1,1] → encoded bytes in the named codec's REAL container
+    (WAV family, IMA-ADPCM, or FLAC; opus falls back to the WAV stub)."""
+    if codec == "flac":
+        from engine.flac import encode_flac
+
+        return encode_flac(np.round(signal * 32767.0).astype(np.int16), sr_hz)
+    if codec in ADPCM_CODECS:
+        return encode_adpcm(np.round(signal * 32767.0).astype(np.int16), sr_hz)
+    return encode_wav(signal, sr_hz, codec)
+
+
 def decode_any(raw: bytes, codec: str) -> tuple[np.ndarray, int]:
     if codec in PCM_CODECS or codec in G711_CODECS or codec in ADPCM_CODECS:
+        return decode_wav(raw)
+    if codec == "flac":
+        if raw[:4] == b"fLaC":
+            return decode_flac_signal(raw)
+        # Legacy corpora tag WAV payloads "flac"; a truncated real-FLAC
+        # payload that lost its magic is still a decode error (short
+        # streams fail the RIFF sniff in decode_wav).
         return decode_wav(raw)
     if codec in STUB_CODECS:
         return StubCodecDecoder(codec).decode(raw)

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from engine.audio import encode_wav
+from engine.audio import encode_audio
 
 SRS = (8000, 16000, 22050, 44100)
 CODEC_CASES = ("pcm16", "pcm8", "opus", "flac", "pcm16", "mp3", "pcm16")
@@ -64,8 +64,10 @@ def synth_audio(i: int) -> tuple[bytes, str]:
     sig = np.empty(n, dtype=np.float32)
     sig[0::2] = v
     sig[1::2] = v_neg
+    # flac rows get REAL FLAC bytes (engine/flac.py): lossless over the
+    # quantization-grid signal, so the pcm16-branch SQL oracle still holds.
     enc_codec = p["codec"] if p["codec"] in ("pcm16", "pcm8", "opus", "flac") else "pcm16"
-    raw = encode_wav(sig, p["sr"], enc_codec)
+    raw = encode_audio(sig, p["sr"], enc_codec)
     if p["truncated"]:
         raw = raw[: max(10, len(raw) // 3)]
     return raw, p["codec"]
@@ -157,6 +159,46 @@ def synth_adpcm_batch(batch: pa.Table) -> pa.Table:
     blobs, codecs = [], []
     for i in ids:
         raw, codec = synth_adpcm(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })
+
+
+def synth_flac(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for REAL-FLAC clip i.  Three signal
+    classes by i % 3 — constant (CONSTANT subframe), alternating ±v
+    (FIXED-order residuals), period-4 square (v,v,-v,-v) — all two-valued
+    on the int16 grid, so the LOSSLESS decode is the exact input and
+    rms/zcr are closed-form in i for the DuckDB oracle."""
+    from engine.flac import encode_flac
+
+    c = i % 3
+    sr = SRS[i % 4]
+    dur_ms = 100 + (i * 37) % 400
+    n = sr * dur_ms // 1000
+    v = 5000 + (i % 60) * 400
+    if c == 0:
+        pcm = np.full(n, v, dtype=np.int16)
+    elif c == 1:
+        pcm = np.empty(n, dtype=np.int16)
+        pcm[0::2] = v
+        pcm[1::2] = -v
+    else:
+        pcm = np.tile(np.array([v, v, -v, -v], dtype=np.int16),
+                      n // 4 + 1)[:n]
+    return encode_flac(pcm, sr), "flac"
+
+
+def synth_flac_batch(batch: pa.Table) -> pa.Table:
+    """ray.data.range(n) batch → (aud_id, bytes, codec) real-FLAC rows."""
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_flac(int(i))
         blobs.append(raw)
         codecs.append(codec)
     return pa.table({

@@ -31,7 +31,7 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from engine.audio import encode_wav, reference_signal
+from engine.audio import encode_audio, reference_signal
 
 CODECS = np.array(["pcm16", "pcm8", "opus", "flac"])
 CODEC_P = np.array([0.70, 0.20, 0.07, 0.03])
@@ -212,7 +212,9 @@ def make_clips_batch(batch: dict, *, seed: int = 42, drift: bool = False,
         sig = reference_signal(cid, sr, n_samples)
         if defect == "audio_corrupt":
             sig = rng.normal(0.0, 0.3, n_samples).astype(np.float32)
-        raw = encode_wav(sig, sr, codec)
+        # flac rows carry REAL FLAC bytes (engine/flac.py) — lossless over
+        # the same int16 grid as pcm16, so planted verdicts are unchanged.
+        raw = encode_audio(sig, sr, codec)
         if defect == "audio_trunc":
             raw = raw[: max(10, len(raw) // 3)]
         if defect == "dur_lie":

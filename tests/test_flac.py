@@ -1,0 +1,187 @@
+"""FLAC subset codec (engine/flac.py, RFC 9639).
+
+Encoder-path coverage via lossless roundtrips; decoder-only paths (LPC,
+rice2 method, partition orders, escaped partitions, wasted bits) via
+hand-crafted bitstreams checked against independently-computed expected
+samples."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from engine.audio import AudioDecodeError
+from engine.flac import (
+    _rice_bits,
+    _signed_bits_vec,
+    _uint_bits,
+    _utf8_number,
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+)
+
+
+def test_roundtrip_exact_classes():
+    rng = np.random.default_rng(42)
+    t = np.arange(30000) / 16000
+    cases = [
+        np.zeros(5000, np.int16),                       # CONSTANT
+        np.full(3, 7, np.int16),                        # tiny block
+        np.zeros(0, np.int16),                          # empty stream
+        rng.integers(-32768, 32768, 10000).astype(np.int16),  # VERBATIM-ish
+        np.array([-32768, 32767] * 700, np.int16),      # full-range toggle
+        np.round(0.5 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16),
+        (rng.integers(-2000, 2000, 4096).cumsum() % 30000 - 15000).astype(np.int16),
+    ]
+    for sig in cases:
+        dec, sr = decode_flac(encode_flac(sig, 8000))
+        assert sr == 8000
+        assert np.array_equal(sig, dec)
+
+
+def test_roundtrip_property_random_walks():
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n = int(rng.integers(1, 9000))
+        scale = int(rng.integers(1, 3000))
+        sig = np.clip(rng.integers(-scale, scale + 1, n).cumsum(),
+                      -32768, 32767).astype(np.int16)
+        dec, _ = decode_flac(encode_flac(sig, 16000))
+        assert np.array_equal(sig, dec)
+
+
+def test_compression_beats_raw_on_tonal():
+    t = np.arange(100000) / 16000
+    sig = np.round(0.6 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+    raw = encode_flac(sig, 16000)
+    assert len(raw) < 0.6 * sig.size * 2
+
+
+def test_truncation_and_corruption_detected():
+    t = np.arange(30000) / 16000
+    sig = np.round(0.5 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    raw = encode_flac(sig, 16000)
+    for cut in (10, len(raw) // 2, len(raw) - 3):
+        with pytest.raises(AudioDecodeError):
+            decode_flac(raw[:cut])
+    bad = bytearray(raw)
+    bad[len(raw) // 2] ^= 0x40
+    with pytest.raises(AudioDecodeError):
+        decode_flac(bytes(bad))
+
+
+def _make_stream(subframe_bits: np.ndarray, blocksize: int,
+                 expected: np.ndarray, sr: int = 8000) -> bytes:
+    """Wrap crafted subframe bits into a 1-frame FLAC file whose STREAMINFO
+    MD5 matches ``expected`` (so decode also exercises the MD5 gate)."""
+    md5 = hashlib.md5(expected.astype("<i2").tobytes()).digest()
+    info = np.concatenate([
+        _uint_bits(blocksize, 16), _uint_bits(blocksize, 16),
+        _uint_bits(0, 24), _uint_bits(0, 24),
+        _uint_bits(sr, 20), _uint_bits(0, 3), _uint_bits(15, 5),
+        _uint_bits(expected.size, 36)])
+    info_bytes = np.packbits(info).tobytes() + md5
+    head = (b"fLaC" + bytes([0x80]) + len(info_bytes).to_bytes(3, "big")
+            + info_bytes)
+    hdr = bytearray([0xFF, 0xF8, (0b0111 << 4) | 0b0000,
+                     (0b0000 << 4) | (0b100 << 1)])
+    hdr += _utf8_number(0)
+    hdr += int(blocksize - 1).to_bytes(2, "big")
+    hdr.append(crc8(bytes(hdr)))
+    bits = np.concatenate(
+        [np.unpackbits(np.frombuffer(bytes(hdr), dtype=np.uint8)),
+         subframe_bits])
+    if bits.size % 8:
+        bits = np.concatenate([bits, np.zeros(8 - bits.size % 8, np.uint8)])
+    frame = np.packbits(bits).tobytes()
+    return head + frame + crc16(frame).to_bytes(2, "big")
+
+
+def test_decode_lpc_subframe():
+    """LPC is decoder-only (the encoder emits FIXED): craft an order-2 LPC
+    subframe and check against an independent integer recurrence."""
+    order, prec, shift = 2, 15, 5
+    coefs = [40, -20]                                 # stable: |poles| < 1
+    warm = np.array([1200, -800], dtype=np.int64)
+    rng = np.random.default_rng(3)
+    resid = rng.integers(-50, 50, 30).astype(np.int64)
+    expected = warm.tolist()
+    for r in resid.tolist():
+        acc = coefs[0] * expected[-1] + coefs[1] * expected[-2]
+        expected.append(int(r) + (acc >> shift))
+    expected = np.array(expected, dtype=np.int16)
+    blocksize = expected.size
+    k = 7
+    sub = np.concatenate([
+        _uint_bits(((32 + order - 1) << 1) | 0, 8),   # pad+LPC(order)+no waste
+        _signed_bits_vec(warm, 16),
+        _uint_bits(prec - 1, 4), _uint_bits(shift, 5),
+        _signed_bits_vec(np.array(coefs), prec),
+        _uint_bits(0, 2), _uint_bits(0, 4),           # rice method 0, porder 0
+        _uint_bits(k, 4), _rice_bits(resid, k)])
+    dec, _ = decode_flac(_make_stream(sub, blocksize, expected))
+    assert np.array_equal(dec, expected)
+
+
+def test_decode_rice2_partitions_and_escape():
+    """Decoder-only residual features: 5-bit rice2 params, partition order 2,
+    and one escaped (raw 9-bit) partition."""
+    blocksize = 16
+    resid = np.arange(-8, 8, dtype=np.int64) * 9
+    parts = [resid[0:4], resid[4:8], resid[8:12], resid[12:16]]
+    pieces = [
+        _uint_bits(0b0_001000_0, 8),                  # FIXED order 0
+        _uint_bits(1, 2),                             # rice2 method
+        _uint_bits(2, 4),                             # partition order 2
+    ]
+    for pi, pr in enumerate(parts):
+        if pi == 2:
+            pieces.append(_uint_bits(31, 5))          # escape
+            pieces.append(_uint_bits(9, 5))           # raw bits per sample
+            pieces.append(_signed_bits_vec(pr, 9))
+        else:
+            pieces.append(_uint_bits(4, 5))
+            pieces.append(_rice_bits(pr, 4))
+    expected = resid.astype(np.int16)
+    dec, _ = decode_flac(_make_stream(np.concatenate(pieces),
+                                      blocksize, expected))
+    assert np.array_equal(dec, expected)
+
+
+def test_decode_wasted_bits_constant():
+    """Wasted-bits shift: CONSTANT subframe at ebps=14 with 2 wasted bits
+    decodes to value << 2."""
+    blocksize = 12
+    v = -733
+    expected = np.full(blocksize, v << 2, dtype=np.int16)
+    sub = np.concatenate([
+        _uint_bits(0b0_000000_1, 8),                  # CONSTANT + wasted flag
+        np.array([0, 1], dtype=np.uint8),             # unary: wasted-1 = 1
+        _signed_bits_vec(np.array([v]), 14)])
+    dec, _ = decode_flac(_make_stream(sub, blocksize, expected))
+    assert np.array_equal(dec, expected)
+
+
+def test_md5_gate():
+    """A stream whose STREAMINFO MD5 disagrees with the decoded PCM must be
+    rejected (validation-tier integrity check)."""
+    sig = np.arange(100, dtype=np.int16)
+    raw = bytearray(encode_flac(sig, 8000))
+    # STREAMINFO md5 lives at bytes 8+18 .. 8+34; flip one bit.
+    raw[8 + 20] ^= 1
+    with pytest.raises(AudioDecodeError, match="MD5"):
+        decode_flac(bytes(raw))
+
+
+def test_rejects_non_mono_and_bad_magic():
+    with pytest.raises(AudioDecodeError):
+        decode_flac(b"RIFFxxxxWAVE")
+    sig = np.arange(64, dtype=np.int16)
+    raw = bytearray(encode_flac(sig, 8000))
+    # channels field: STREAMINFO bit offset 100..102 lives in byte 8+12,
+    # bits 4..6 (100 = 12*8+4).  Set channels-1 = 1 (stereo).
+    raw[8 + 12] |= 0b00001000
+    with pytest.raises(AudioDecodeError, match="channels"):
+        decode_flac(bytes(raw))
