@@ -274,7 +274,7 @@ def cached_clips_dataset(n_clips: int, *, seed: int = 42,
     # v2: ~2000-row files (v1 wrote one tiny file per generation block); the
     # version token forces hosts with an old cache to rebuild in the new
     # layout — row-count validation alone cannot tell the layouts apart.
-    path = f"{cache_root}/v3_n{n_clips}_seed{seed}"  # v3: dup-chain id fix
+    path = f"{cache_root}/v4_n{n_clips}_seed{seed}"  # v4: real FLAC payloads
     if os.path.isdir(path):
         # Validate the cache (guards against a partially-deleted build).
         import pyarrow.parquet as _pq
