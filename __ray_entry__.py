@@ -1400,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
         "mode_quantity_by_returnflag": q.mode_quantity_by_returnflag,
         "drift_events_split": q.drift_events_split,
+        "drift_divergences_split": q.drift_divergences_split,
         "events_hopping_window": q.events_hopping_window,
         "audio_features": _audio_features,
         "g711_audio_features": _g711_audio_features,
@@ -1464,9 +1465,10 @@ _ORACLE_PRIORITY = [
     "adpcm_audio_features",
     "stratified_sample_documents", "long_tail_documents",
     "lang_quality_documents", "quantiles_by_returnflag",
-    "drift_events_split", "audio_features", "audio_chunks",
+    "drift_events_split", "drift_divergences_split",
+    "audio_features", "audio_chunks",
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
-    "embedding_near_dup_exact", "image_dims", "image_metadata",
+    "embedding_near_dup_exact", "image_dims",
     "image_resize", "png_image_metadata",
     "flac_audio_features", "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
@@ -1540,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,
         "mode_quantity_by_returnflag": q.MODE_QUANTITY_SQL,
         "drift_events_split": q.DRIFT_EVENTS_SQL,
+        "drift_divergences_split": q.DRIFT_DIVERGENCES_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "g711_audio_features": G711_FEATURES_SQL,

@@ -406,6 +406,66 @@ def ks_statistic(expected: Histogram, observed: Histogram) -> float:
     return float(np.max(np.abs(e_cdf - o_cdf)))
 
 
+def js_divergence(expected: Histogram, observed: Histogram) -> float:
+    """Jensen-Shannon divergence (natural log) between two same-edged
+    histograms.  Uses the exact 0*ln(0/x) = 0 convention (no epsilon
+    flooring): JSD is finite for any pair of distributions, unlike KL, so
+    zero bins need no clipping.  Bounded by ln 2."""
+    expected._require_same_edges(observed)
+    e = expected.counts.astype(np.float64)
+    o = observed.counts.astype(np.float64)
+    p = e / max(e.sum(), 1.0)
+    q = o / max(o.sum(), 1.0)
+    m = 0.5 * (p + q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kp = np.where(p > 0, p * np.log(p / m), 0.0)
+        kq = np.where(q > 0, q * np.log(q / m), 0.0)
+    return float(0.5 * kp.sum() + 0.5 * kq.sum())
+
+
+def chi2_homogeneity(expected: Histogram, observed: Histogram) -> float:
+    """Two-sample chi-squared homogeneity statistic: for each bin b and
+    sample h, E_hb = rowtotal_b * coltotal_h / N; bins empty in BOTH
+    samples contribute 0 (their E is 0)."""
+    expected._require_same_edges(observed)
+    e = expected.counts.astype(np.float64)
+    o = observed.counts.astype(np.float64)
+    n = e.sum() + o.sum()
+    if n == 0:
+        return 0.0
+    rb = e + o
+    mask = rb > 0
+    exp_e = rb[mask] * e.sum() / n
+    exp_o = rb[mask] * o.sum() / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stat = np.where(exp_e > 0, (e[mask] - exp_e) ** 2 / exp_e, 0.0).sum() \
+            + np.where(exp_o > 0, (o[mask] - exp_o) ** 2 / exp_o, 0.0).sum()
+    return float(stat)
+
+
+def wasserstein_binned(expected: Histogram, observed: Histogram) -> float:
+    """1-D Wasserstein (earth mover's) distance between the two binned
+    distributions at UNIT bin spacing: W1 = sum_b |CDF_e(b) - CDF_o(b)|.
+    For physical-unit distances multiply by the bin width; categorical
+    axes use the label order as the transport metric (documented choice)."""
+    expected._require_same_edges(observed)
+    e = expected.counts.astype(np.float64)
+    o = observed.counts.astype(np.float64)
+    e_cdf = np.cumsum(e) / max(e.sum(), 1.0)
+    o_cdf = np.cumsum(o) / max(o.sum(), 1.0)
+    return float(np.abs(e_cdf - o_cdf)[:-1].sum())
+
+
+def total_variation(expected: Histogram, observed: Histogram) -> float:
+    """Total-variation distance: 0.5 * sum_b |p_b - q_b| (in [0, 1])."""
+    expected._require_same_edges(observed)
+    e = expected.counts.astype(np.float64)
+    o = observed.counts.astype(np.float64)
+    p = e / max(e.sum(), 1.0)
+    q = o / max(o.sum(), 1.0)
+    return float(0.5 * np.abs(p - q).sum())
+
+
 class MisraGries:
     """Misra-Gries heavy-hitter summary (mergeable form, Agarwal et al.,
     "Mergeable Summaries", PODS 2012).

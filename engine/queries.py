@@ -2788,19 +2788,11 @@ DRIFT_VALUE_EDGES_HI = 500.0
 DRIFT_VALUE_EDGES_N = 50               # interior bins; step 10
 
 
-def drift_events_split(sf_dir: str):
-    """EXACT distribution drift on a real table: first half of the events
-    month (ts < 2024-01-16) is the expected epoch, the second half the
-    observed epoch; PSI and KS come from the SAME engine code the clips
-    drift report uses (engine.checks.sketches.psi / ks_statistic), fed with
-    exact distributed counts instead of sampled sketches — which makes the
-    drift MATH hash-oracle-able in SQL.  Axes: event_type (categorical,
-    alphabetical CDF order) and value (fixed uniform histogram edges
-    0..500 step 10, searchsorted-right binning with the rightmost edge in
-    the last interior bin, under/overflow bins explicit)."""
-    import pyarrow.compute as _pc
-
-    from engine.checks.sketches import Histogram, ks_statistic, psi
+def _drift_split_counts(sf_dir: str):
+    """Shared distributed-counts stage for the drift queries: per-batch
+    (axis, bin, half) partial counts over events, summed by a bounded
+    groupby.  Returns the counts as a small pandas frame (axes x bins x 2
+    rows — driver-bounded by construction)."""
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     edges = np.linspace(DRIFT_VALUE_EDGES_LO, DRIFT_VALUE_EDGES_HI,
@@ -2827,12 +2819,18 @@ def drift_events_split(sf_dir: str):
                          "half": pa.array(halves, pa.int8()),
                          "cnt": pa.array(cnts, pa.int64())})
 
-    counts = (
+    return (
         ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["axis", "bin", "half"]).sum("cnt")
     ).to_pandas()   # bounded: axes x bins x 2 rows
 
-    out_axis, out_psi, out_ks = [], [], []
+
+def _drift_split_histograms(counts):
+    """counts frame → {axis: (expected Histogram, observed Histogram)} with
+    bins in sorted-label order and empty under/overflow bins."""
+    from engine.checks.sketches import Histogram
+
+    out = {}
     for axis, grp in counts.groupby("axis", sort=True):
         labels = sorted(grp["bin"].unique())
         idx = {b: i for i, b in enumerate(labels)}
@@ -2844,12 +2842,63 @@ def drift_events_split(sf_dir: str):
         h_e, h_o = Histogram(dummy_edges[:-1]), Histogram(dummy_edges[:-1])
         h_e.counts = np.concatenate([[0], vec[0], [0]])   # under/overflow empty
         h_o.counts = np.concatenate([[0], vec[1], [0]])
+        out[axis] = (h_e, h_o)
+    return out
+
+
+def drift_events_split(sf_dir: str):
+    """EXACT distribution drift on a real table: first half of the events
+    month (ts < 2024-01-16) is the expected epoch, the second half the
+    observed epoch; PSI and KS come from the SAME engine code the clips
+    drift report uses (engine.checks.sketches.psi / ks_statistic), fed with
+    exact distributed counts instead of sampled sketches — which makes the
+    drift MATH hash-oracle-able in SQL.  Axes: event_type (categorical,
+    alphabetical CDF order) and value (fixed uniform histogram edges
+    0..500 step 10, searchsorted-right binning with the rightmost edge in
+    the last interior bin, under/overflow bins explicit)."""
+    from engine.checks.sketches import ks_statistic, psi
+
+    hists = _drift_split_histograms(_drift_split_counts(sf_dir))
+    out_axis, out_psi, out_ks = [], [], []
+    for axis, (h_e, h_o) in hists.items():
         out_axis.append(axis)
         out_psi.append(float(_half_away_round(psi(h_e, h_o), 6)))
         out_ks.append(float(_half_away_round(ks_statistic(h_e, h_o), 6)))
     return pa.table({"axis": pa.array(out_axis, pa.string()),
                      "psi": pa.array(out_psi, pa.float64()),
                      "ks": pa.array(out_ks, pa.float64())})
+
+
+def drift_divergences_split(sf_dir: str):
+    """Companion drift report over the SAME distributed split counts:
+    Jensen-Shannon divergence (natural log, exact 0*ln0=0 handling),
+    two-sample chi-squared homogeneity statistic, 1-D Wasserstein distance
+    at unit bin spacing, and total-variation distance — the remaining
+    standard drift detectors a frozen-baseline validation suite runs
+    alongside PSI/KS (engine/checks/sketches.py)."""
+    from engine.checks.sketches import (
+        chi2_homogeneity,
+        js_divergence,
+        total_variation,
+        wasserstein_binned,
+    )
+
+    hists = _drift_split_histograms(_drift_split_counts(sf_dir))
+    rows = {"axis": [], "jsd": [], "chi2": [], "wasserstein": [], "tv": []}
+    for axis, (h_e, h_o) in hists.items():
+        rows["axis"].append(axis)
+        rows["jsd"].append(float(_half_away_round(js_divergence(h_e, h_o), 6)))
+        rows["chi2"].append(float(_half_away_round(chi2_homogeneity(h_e, h_o), 4)))
+        rows["wasserstein"].append(
+            float(_half_away_round(wasserstein_binned(h_e, h_o), 6)))
+        rows["tv"].append(float(_half_away_round(total_variation(h_e, h_o), 6)))
+    return pa.table({
+        "axis": pa.array(rows["axis"], pa.string()),
+        "jsd": pa.array(rows["jsd"], pa.float64()),
+        "chi2": pa.array(rows["chi2"], pa.float64()),
+        "wasserstein": pa.array(rows["wasserstein"], pa.float64()),
+        "tv": pa.array(rows["tv"], pa.float64()),
+    })
 
 
 DRIFT_EVENTS_SQL = """
@@ -2891,6 +2940,57 @@ cdf AS (
 SELECT axis,
   ROUND(SUM((o - e) * LN(o / e)), 6) AS psi,
   ROUND(MAX(ABS(ecdf - ocdf)), 6) AS ks
+FROM cdf GROUP BY axis ORDER BY axis
+"""
+
+DRIFT_DIVERGENCES_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS half,
+    event_type,
+    CASE WHEN value = 500.0 THEN 50
+         WHEN value < 0 THEN 0
+         WHEN value >= 500.0 THEN 51
+         ELSE CAST(FLOOR(value / 10.0) AS INTEGER) + 1 END AS vbin
+  FROM events
+),
+axes AS (
+  SELECT 'event_type' AS axis, event_type AS bin, half FROM rows_
+  UNION ALL
+  SELECT 'value' AS axis, printf('%04d', vbin) AS bin, half FROM rows_
+),
+b AS (
+  SELECT axis, bin,
+    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ec,
+    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS oc
+  FROM axes GROUP BY axis, bin
+),
+t AS (SELECT axis, SUM(ec) AS et, SUM(oc) AS ot FROM b GROUP BY axis),
+p AS (
+  SELECT b.axis, b.bin, b.ec, b.oc, t.et, t.ot,
+    CAST(b.ec AS DOUBLE) / GREATEST(t.et, 1.0) AS ef,
+    CAST(b.oc AS DOUBLE) / GREATEST(t.ot, 1.0) AS ofr
+  FROM b JOIN t ON t.axis = b.axis
+),
+cdf AS (
+  SELECT axis, bin, ec, oc, et, ot, ef, ofr,
+    SUM(ef) OVER (PARTITION BY axis ORDER BY bin) AS ecdf,
+    SUM(ofr) OVER (PARTITION BY axis ORDER BY bin) AS ocdf
+  FROM p
+)
+SELECT axis,
+  ROUND(0.5 * SUM(CASE WHEN ef > 0
+                       THEN ef * LN(ef / ((ef + ofr) / 2)) ELSE 0 END)
+      + 0.5 * SUM(CASE WHEN ofr > 0
+                       THEN ofr * LN(ofr / ((ef + ofr) / 2)) ELSE 0 END),
+        6) AS jsd,
+  ROUND(SUM(CASE WHEN ec + oc > 0 THEN
+      POW(ec - (ec + oc) * et / (et + ot), 2)
+        / ((ec + oc) * et / (et + ot))
+    + POW(oc - (ec + oc) * ot / (et + ot), 2)
+        / ((ec + oc) * ot / (et + ot))
+    ELSE 0 END), 4) AS chi2,
+  ROUND(SUM(ABS(ecdf - ocdf)), 6) AS wasserstein,
+  ROUND(0.5 * SUM(ABS(ef - ofr)), 6) AS tv
 FROM cdf GROUP BY axis ORDER BY axis
 """
 

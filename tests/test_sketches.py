@@ -136,3 +136,57 @@ def test_heavy_hitter_terms_matches_exact(ray_session):
     empty = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     out = heavy_hitter_terms(empty, k=5)
     assert out.num_rows == 0 and out.schema.field("cnt").type == pa.int64()
+
+
+def test_divergence_metrics_known_values_and_bounds():
+    """JSD / chi2 / Wasserstein / TV: hand-computed small cases plus the
+    standard bounds (JSD <= ln 2, TV in [0,1], W1 = sum |CDF gap|)."""
+    import math
+
+    from engine.checks.sketches import (
+        chi2_homogeneity,
+        js_divergence,
+        total_variation,
+        wasserstein_binned,
+    )
+
+    def hist(counts):
+        h = Histogram(np.arange(len(counts) + 1, dtype=np.float64))
+        h.counts = np.concatenate([[0], np.asarray(counts, np.int64), [0]])
+        return h
+
+    a, b = hist([10, 10]), hist([10, 10])
+    for fn in (js_divergence, chi2_homogeneity, wasserstein_binned,
+               total_variation):
+        assert fn(a, b) == 0.0
+
+    # Disjoint supports: JSD = ln 2, TV = 1, W1 = number of unit steps the
+    # mass must travel (here 1), chi2 = N (2x2 table with zero diagonals).
+    c, d = hist([20, 0]), hist([0, 20])
+    assert abs(js_divergence(c, d) - math.log(2)) < 1e-12
+    assert total_variation(c, d) == 1.0
+    assert abs(wasserstein_binned(c, d) - 1.0) < 1e-12
+    assert abs(chi2_homogeneity(c, d) - 40.0) < 1e-9
+
+    # Hand check of a 2x2 chi-squared: counts e=[30,10], o=[20,20].
+    # Totals: rows (50,30), cols (40,40), N=80.
+    e, o = hist([30, 10]), hist([20, 20])
+    expect = sum((obs - exp) ** 2 / exp for obs, exp in
+                 [(30, 25), (20, 25), (10, 15), (20, 15)])
+    assert abs(chi2_homogeneity(e, o) - expect) < 1e-9
+
+    # W1 moves 1/4 of the mass by one unit step.
+    assert abs(wasserstein_binned(e, o) - 0.25) < 1e-12
+    assert abs(total_variation(e, o) - 0.25) < 1e-12
+
+    # Symmetry + shifted normals separate, same-dist stays near zero.
+    rng = np.random.default_rng(4)
+    edges = np.linspace(-5, 25, 31)
+    base, same, moved = Histogram(edges), Histogram(edges), Histogram(edges)
+    base.update(rng.normal(10, 3, 50_000))
+    same.update(rng.normal(10, 3, 50_000))
+    moved.update(rng.normal(13, 3, 50_000))
+    for fn in (js_divergence, total_variation, wasserstein_binned):
+        assert abs(fn(base, moved) - fn(moved, base)) < 1e-12
+        assert fn(base, same) < fn(base, moved)
+    assert js_divergence(base, moved) <= math.log(2) + 1e-12
