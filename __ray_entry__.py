@@ -1402,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_split": q.drift_events_split,
         "drift_divergences_split": q.drift_divergences_split,
         "events_hopping_window": q.events_hopping_window,
+        "user_range_window_events": q.user_range_window_events,
         "audio_features": _audio_features,
         "g711_audio_features": _g711_audio_features,
         "adpcm_audio_features": _adpcm_audio_features,
@@ -1457,6 +1458,7 @@ _ORACLE_PRIORITY = [
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
     "user_running_value", "orders_row_number", "lineitem_quantity_ranks",
+    "user_range_window_events",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "clicks_near_purchase",
@@ -1469,7 +1471,7 @@ _ORACLE_PRIORITY = [
     "audio_features", "audio_chunks",
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
     "embedding_near_dup_exact", "image_dims",
-    "image_resize", "png_image_metadata",
+    "png_image_metadata",
     "flac_audio_features", "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
 ]
@@ -1544,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_events_split": q.DRIFT_EVENTS_SQL,
         "drift_divergences_split": q.DRIFT_DIVERGENCES_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
+        "user_range_window_events": q.USER_RANGE_WINDOW_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "g711_audio_features": G711_FEATURES_SQL,
         "adpcm_audio_features": ADPCM_FEATURES_SQL,

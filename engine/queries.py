@@ -1789,6 +1789,77 @@ def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
         .sort(["user_id", "event_id"])
 
 
+def user_range_window_events(sf_dir: str, range_seconds: int = 3600):
+    """VALUE-RANGE framed window aggregate (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW): per event, the count and integerized sum of
+    the same user's events in the trailing hour — the rate-limiter /
+    burst-detection window, and the one frame type (value-based, peers
+    included) the ROWS-framed operators here don't cover.
+
+    Shape: one salted-partition shuffle on user hash, then a per-partition
+    vectorized pass — user segments are collapsed onto ONE sorted axis by
+    offsetting each segment with a span larger than (partition span +
+    frame), so both frame edges come from two global ``np.searchsorted``
+    calls (no per-user loop).  Sums are over FLOOR(value) in int64, so the
+    cumsum-difference is exact and hash-matches SQL.
+    """
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    thr_us = np.int64(range_seconds) * np.int64(1_000_000)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def frame_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "cnt_1h": pa.array([], pa.int64()),
+            "sum_1h": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        val = np.floor(group.column("value").to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        order = np.lexsort((eid, tsv, uid))
+        uid, eid, tsv, val = uid[order], eid[order], tsv[order], val[order]
+        base = tsv - tsv.min()
+        seg = np.concatenate([[0], np.cumsum(uid[1:] != uid[:-1])])
+        span = np.int64(base.max()) + thr_us + 2
+        if (int(seg[-1]) + 1) * int(span) >= 2 ** 62:   # overflow guard
+            raise ValueError("range-window: partition span overflow")
+        adj = base + seg * span
+        lo = np.searchsorted(adj, adj - thr_us, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        cum = np.concatenate([[0], np.cumsum(val)])
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_id": pa.array(eid),
+            "ts": pa.array(tsv.view("datetime64[us]")),
+            "cnt_1h": pa.array(hi - lo),
+            "sum_1h": pa.array(cum[hi] - cum[lo]),
+        })
+
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part").map_groups(frame_partition, batch_format="pyarrow") \
+        .sort(["user_id", "event_id"])
+
+
+USER_RANGE_WINDOW_SQL = """
+SELECT user_id, event_id, ts,
+  COUNT(*) OVER w AS cnt_1h,
+  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
 LARGE_GAP_SQL = """
 WITH w AS (
   SELECT user_id, event_id, ts,

@@ -23,6 +23,8 @@ FAST_ORACLED = [
     "revenue_by_segment_day",
     "sample_documents",
     "lang_quality_documents",
+    "drift_divergences_split",
+    "user_range_window_events",
 ]
 
 
@@ -547,3 +549,41 @@ def test_orders_rollup_empty_input_emits_grand_row(ray_session, tmp_path):
     assert t.column("priority").to_pylist() == [None]
     assert t.column("month").to_pylist() == [None]
     assert t.column("n").to_pylist() == [0]
+
+
+def test_user_range_window_ties_include_peers(ray_session, tmp_path):
+    """RANGE frames include PEER rows (equal ts) regardless of tiebreak
+    order — the semantic that separates RANGE from ROWS.  Tied-ts rows are
+    rare in the corpus, so plant them explicitly and oracle with DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from engine.queries import USER_RANGE_WINDOW_SQL, user_range_window_events
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base, base, base + np.timedelta64(30, "m"),
+          base + np.timedelta64(90, "m"), base + np.timedelta64(90, "m"),
+          base + np.timedelta64(90, "m"), base, base + np.timedelta64(61, "m")]
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([10.5, 20.5, 30.5, 40.5, 50.5, 60.5, 5.5, 6.5]),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+
+    got = user_range_window_events(str(sf)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    want = con.sql(USER_RANGE_WINDOW_SQL).df()
+    pd_got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd_want = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert pd_got["cnt_1h"].tolist() == pd_want["cnt_1h"].tolist()
+    assert pd_got["sum_1h"].astype(int).tolist() == pd_want["sum_1h"].astype(int).tolist()
+    # the three ts=90m peers see each other PLUS the 30m event sitting
+    # exactly on the inclusive frame edge (90m - 1h): cnt 4 for all three
+    assert pd_got.loc[pd_got.event_id.isin([4, 5, 6]), "cnt_1h"].tolist() == [4, 4, 4]
+    # the two ts=0 peers see only each other
+    assert pd_got.loc[pd_got.event_id.isin([1, 2]), "cnt_1h"].tolist() == [2, 2]
