@@ -791,6 +791,117 @@ def _flac_audio_features(sf_dir: str):
                            zero_copy_batch=True).sort("aud_id")
 
 
+TRIM_FEATURES_N = 2048
+
+TRIM_FEATURES_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
+b AS (
+  SELECT i,
+    i % 7 = 6 AS silent,
+    (i * 7) % 500 AS p, (i * 11) % 300 AS q,
+    400 + (i * 37) % 2000 AS core,
+    1000 + (i % 50) * 300 AS k,
+    500 + (i % 300) AS nsil,
+    CASE WHEN i % 4 = 3 THEN 'flac' ELSE 'pcm16' END AS codec
+  FROM ids
+)
+SELECT i AS aud_id, codec, TRUE AS decode_ok,
+  CAST(CASE WHEN silent THEN nsil ELSE p + core + q END AS BIGINT) AS n_samples,
+  CAST(CASE WHEN silent THEN nsil ELSE p END AS BIGINT) AS lead_sil,
+  CAST(CASE WHEN silent THEN 0 ELSE q END AS BIGINT) AS trail_sil,
+  CAST(CASE WHEN silent THEN 0 ELSE core END AS BIGINT) AS n_kept,
+  CASE WHEN silent THEN NULL
+       ELSE ROUND(CAST(CAST(CAST(k AS DOUBLE) / 32767.0 AS REAL) AS DOUBLE),
+                  4) END AS kept_rms
+FROM b ORDER BY aud_id
+"""
+
+
+def _audio_trim_report(sf_dir: str):
+    """Hash-oracled silence trimming (round-4): the zero-padded corpus
+    (engine/data/audio_synth.py:synth_trim — exact-zero pads, ±v core,
+    real FLAC on every 4th clip) must decode and trim through
+    AudioTrimStage to the closed-form pad lengths and kept-rms the DuckDB
+    oracle recomputes from i (all-silent clips follow the documented
+    lead=n convention)."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_trim_batch
+    from engine.ops.multimodal import AudioTrimStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(TRIM_FEATURES_N).map_batches(
+        synth_trim_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioTrimStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_samples": t.column("n_samples"),
+            "lead_sil": t.column("lead_sil"),
+            "trail_sil": t.column("trail_sil"),
+            "n_kept": t.column("n_kept"),
+            "kept_rms": pa.array(_half_away_round(
+                t.column("kept_rms").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
+RESAMPLE_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(4096)),
+base AS (
+  SELECT i,
+    CASE WHEN i % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    200 + (i * 37) % 800 AS dur
+  FROM ids
+), g AS (SELECT i, codec, sr, (sr * dur) // 1000 AS n FROM base)
+SELECT i AS aud_id, codec, TRUE AS decode_ok,
+  CAST(n AS BIGINT) AS n_in,
+  CAST((n * 16000 + sr - 1) // sr AS BIGINT) AS n_out,
+  CAST(16000 AS BIGINT) AS sr_out
+FROM g ORDER BY aud_id
+"""
+
+
+def _audio_resample_report(sf_dir: str):
+    """Hash-oracled rate conversion metadata (round-4): the G.711 corpus
+    (varied 8/16/22.05/44.1 kHz rates) through AudioResampleStage to
+    16 kHz; n_out = ceil(n_in * 16000 / sr) is exact integer arithmetic
+    in both the stage and the oracle.  The interpolation MATH itself is
+    pytest-verified against np.interp (tests/test_ops.py) — float
+    resampled_rms is intentionally not part of the hash contract."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_g711_batch
+    from engine.ops.multimodal import AudioResampleStage
+
+    ds = ray.data.range(G711_FEATURES_N).map_batches(
+        synth_g711_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioResampleStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 8))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_in": t.column("n_in"),
+            "n_out": t.column("n_out"),
+            "sr_out": t.column("sr_out"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
 AUDIO_FEATURES_N = 4096
 
 AUDIO_FEATURES_SQL = """
@@ -1407,6 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g711_audio_features": _g711_audio_features,
         "adpcm_audio_features": _adpcm_audio_features,
         "flac_audio_features": _flac_audio_features,
+        "audio_trim_report": _audio_trim_report,
+        "audio_resample_report": _audio_resample_report,
         "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
@@ -1452,7 +1565,7 @@ _ORACLE_PRIORITY = [
     "q1_pricing_summary", "grouped_stats_orderpriority",
     "dedup_exact_documents", "distinct_users_by_type", "orphan_orders",
     "orders_per_segment", "repair_extract_events",
-    "jsonl_repair_events", "jsonl_gz_repair_events", "token_stats_documents",
+    "jsonl_repair_events", "token_stats_documents",
     "top_terms_per_document", "heavy_hitter_terms",
     "mad_quantity_by_returnflag", "rolling_fingerprint",
     "events_daily_by_type",
@@ -1472,7 +1585,7 @@ _ORACLE_PRIORITY = [
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
     "embedding_near_dup_exact", "image_dims",
     "png_image_metadata",
-    "flac_audio_features", "video_frame_sample", "clips_verdicts_vs_planted",
+    "flac_audio_features", "audio_trim_report", "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
 ]
 
@@ -1551,6 +1664,8 @@ def oracle_sql() -> dict[str, str]:
         "g711_audio_features": G711_FEATURES_SQL,
         "adpcm_audio_features": ADPCM_FEATURES_SQL,
         "flac_audio_features": FLAC_FEATURES_SQL,
+        "audio_trim_report": TRIM_FEATURES_SQL,
+        "audio_resample_report": RESAMPLE_SQL,
         "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,

@@ -208,6 +208,47 @@ def synth_flac_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def synth_trim(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for silence-trim clip i: exact-zero
+    leading/trailing pads around an alternating ±v core, so lead/trail/
+    kept and kept_rms are closed-form in i.  Every i % 7 == 6 clip is
+    all-silence (whole length counts as leading, by the documented
+    convention); every i % 4 == 3 clip rides the REAL FLAC path."""
+    from engine.audio import encode_audio
+
+    sr = SRS[i % 4]
+    codec = "flac" if i % 4 == 3 else "pcm16"
+    if i % 7 == 6:
+        n = 500 + (i % 300)
+        sig = np.zeros(n, dtype=np.float32)
+    else:
+        p = (i * 7) % 500
+        q = (i * 11) % 300
+        core = 400 + (i * 37) % 2000
+        v = 1000 + (i % 50) * 300
+        mid = np.empty(core, dtype=np.float32)
+        mid[0::2] = np.float32(v / 32767)
+        mid[1::2] = np.float32(-v / 32767)
+        sig = np.concatenate([np.zeros(p, np.float32), mid,
+                              np.zeros(q, np.float32)])
+    return encode_audio(sig, sr, codec), codec
+
+
+def synth_trim_batch(batch: pa.Table) -> pa.Table:
+    """ray.data.range(n) batch → (aud_id, bytes, codec) trim-corpus rows."""
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_trim(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })
+
+
 def synth_audio_batch(batch: pa.Table) -> pa.Table:
     """ray.data.range(n) batch → (aud_id, bytes, codec) rows."""
     ids = batch.column("id").to_numpy()

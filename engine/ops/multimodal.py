@@ -128,6 +128,117 @@ class AudioChunkStage:
             .append_column("chunk_rms", pa.array(np.concatenate(rms)))
 
 
+class AudioTrimStage:
+    """bytes+codec → leading/trailing-silence trim report (lead_sil,
+    trail_sil, n_kept, kept_rms) — the silence-strip step of an ASR
+    training-data pipeline.  REAL decode through every registered codec;
+    silence = |sample| <= threshold (default: below one int16 LSB).
+
+    Convention (mirrored by the SQL oracle): an all-silent clip counts its
+    whole length as LEADING silence (trail 0, kept 0, kept_rms NULL).
+
+    Scale shape: stateless per-row scan, vectorized argmax on the
+    over-threshold mask; audio bytes never leave the stage."""
+
+    def __init__(self, bytes_col: str = "bytes", codec_col: str = "codec",
+                 threshold: float = 0.5 / 32767.0) -> None:
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col)
+        codecs = batch.column(self.codec_col).to_pylist()
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        total = np.zeros(n, dtype=np.int64)
+        lead = np.zeros(n, dtype=np.int64)
+        trail = np.zeros(n, dtype=np.int64)
+        kept = np.zeros(n, dtype=np.int64)
+        kept_rms = np.full(n, np.nan)
+        for i in range(n):
+            try:
+                sig, _sr = decode_any(blobs[i].as_py(), codecs[i])
+            except (AudioDecodeError, NotImplementedError):
+                continue
+            ok[i] = True
+            total[i] = sig.size
+            loud = np.abs(sig) > self.threshold
+            if not loud.any():
+                lead[i] = sig.size
+                continue
+            first = int(np.argmax(loud))
+            last = int(sig.size - 1 - np.argmax(loud[::-1]))
+            lead[i] = first
+            trail[i] = sig.size - 1 - last
+            kept[i] = last - first + 1
+            seg = sig[first:last + 1].astype(np.float64)
+            kept_rms[i] = float(np.sqrt(np.mean(seg * seg)))
+        return batch.drop_columns([self.bytes_col]) \
+            .append_column("decode_ok", pa.array(ok)) \
+            .append_column("n_samples", pa.array(total)) \
+            .append_column("lead_sil", pa.array(lead)) \
+            .append_column("trail_sil", pa.array(trail)) \
+            .append_column("n_kept", pa.array(kept)) \
+            .append_column("kept_rms", pa.array(kept_rms))
+
+
+class AudioResampleStage:
+    """bytes+codec → rate-converted metadata + resampled RMS — the
+    rate-normalization step (ASR models want one rate, e.g. 16 kHz).
+
+    Linear-interpolation resampler (np.interp on the sample grid): output
+    length n_out = ceil(n_in * target / src), output position j maps to
+    source time j * src / target.  Real decode in, float32 signal out —
+    here only scalar features leave the stage (resampled audio would be
+    re-encoded in a production sink; the bytes layout is already covered
+    by the codec modules).  The interpolation MATH is pytest-verified
+    against np.interp directly; the SQL-oracled columns are the exact
+    integer metadata (n_in, n_out, sr_out).
+    """
+
+    def __init__(self, bytes_col: str = "bytes", codec_col: str = "codec",
+                 target_hz: int = 16000) -> None:
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+        self.target_hz = target_hz
+
+    def resample(self, sig: np.ndarray, src_hz: int) -> np.ndarray:
+        if src_hz == self.target_hz or sig.size == 0:
+            return sig
+        n_out = -(-sig.size * self.target_hz // src_hz)    # ceil
+        pos = np.arange(n_out, dtype=np.float64) * (src_hz / self.target_hz)
+        return np.interp(pos, np.arange(sig.size, dtype=np.float64),
+                         sig.astype(np.float64)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col)
+        codecs = batch.column(self.codec_col).to_pylist()
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        n_in = np.zeros(n, dtype=np.int64)
+        n_out = np.zeros(n, dtype=np.int64)
+        rms = np.full(n, np.nan)
+        for i in range(n):
+            try:
+                sig, sr = decode_any(blobs[i].as_py(), codecs[i])
+            except (AudioDecodeError, NotImplementedError):
+                continue
+            ok[i] = True
+            n_in[i] = sig.size
+            out = self.resample(sig, sr)
+            n_out[i] = out.size
+            if out.size:
+                rms[i] = float(np.sqrt(np.mean(out.astype(np.float64) ** 2)))
+        return batch.drop_columns([self.bytes_col]) \
+            .append_column("decode_ok", pa.array(ok)) \
+            .append_column("n_in", pa.array(n_in)) \
+            .append_column("n_out", pa.array(n_out)) \
+            .append_column("sr_out", pa.array(
+                np.full(n, self.target_hz, dtype=np.int64))) \
+            .append_column("resampled_rms", pa.array(rms))
+
+
 class ImageResizeStage:
     """Binary image column → stride-``factor`` nearest-neighbour downscale
     metadata (out_w, out_h, lum_sum, nvals) — REAL decode + REAL resample

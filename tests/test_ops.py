@@ -756,3 +756,67 @@ def test_image_resize_stage_matches_numpy():
     assert out.column("out_w").to_pylist() == [small.shape[1]]
     assert out.column("lum_sum").to_pylist() == [int(small.astype(np.int64).sum())]
     assert out.column("nvals").to_pylist() == [small.size]
+
+
+def test_audio_trim_stage_edges(ray_session):
+    """Trim conventions: exact-zero pads, all-silent → lead=n, undecodable
+    rows report decode_ok=False with zeroed counters."""
+    from engine.audio import encode_audio
+    from engine.ops.multimodal import AudioTrimStage
+
+    sig = np.concatenate([np.zeros(100, np.float32),
+                          np.full(50, 0.25, np.float32),
+                          np.zeros(30, np.float32)])
+    rows = pa.table({
+        "aud_id": pa.array([0, 1, 2], pa.int64()),
+        "bytes": pa.array([encode_audio(sig, 8000, "pcm16"),
+                           encode_audio(np.zeros(77, np.float32), 8000, "flac"),
+                           b"junk"], pa.large_binary()),
+        "codec": pa.array(["pcm16", "flac", "pcm16"], pa.string()),
+    })
+    out = AudioTrimStage()(rows)
+    assert out.column("decode_ok").to_pylist() == [True, True, False]
+    assert out.column("lead_sil").to_pylist() == [100, 77, 0]
+    assert out.column("trail_sil").to_pylist() == [30, 0, 0]
+    assert out.column("n_kept").to_pylist() == [50, 0, 0]
+    rms = out.column("kept_rms").to_pylist()
+    assert abs(rms[0] - 0.25) < 1e-3 and np.isnan(rms[1]) and np.isnan(rms[2])
+
+
+def test_audio_resample_stage_matches_interp(ray_session):
+    """Resampler math: identity at the target rate; up/down conversion
+    matches an independent np.interp computation and preserves a smooth
+    signal (SNR vs the analytically resampled sine > 30 dB)."""
+    from engine.audio import encode_audio, snr_db
+    from engine.ops.multimodal import AudioResampleStage
+
+    stage = AudioResampleStage(target_hz=16000)
+    t = np.arange(8000, dtype=np.float64) / 8000
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    out = stage.resample(sig, 8000)
+    n_out = -(-sig.size * 16000 // 8000)
+    assert out.size == n_out
+    pos = np.arange(n_out) * (8000 / 16000)
+    want = np.interp(pos, np.arange(sig.size), sig.astype(np.float64))
+    assert np.allclose(out, want.astype(np.float32), atol=0)
+    # analytic check: the resampled signal still tracks the 220 Hz sine
+    t16 = np.arange(n_out, dtype=np.float64) / 16000
+    ref = (0.5 * np.sin(2 * np.pi * 220 * t16)).astype(np.float32)
+    assert snr_db(ref, out) > 30
+    # identity at target rate
+    assert stage.resample(sig, 16000) is sig
+    # downsample path
+    down = AudioResampleStage(target_hz=8000).resample(sig, 16000)
+    assert down.size == -(-sig.size * 8000 // 16000)
+
+    rows = pa.table({
+        "aud_id": pa.array([0, 1], pa.int64()),
+        "bytes": pa.array([encode_audio(sig, 8000, "pcm16"), b"junk"],
+                          pa.large_binary()),
+        "codec": pa.array(["pcm16", "pcm16"], pa.string()),
+    })
+    res = stage(rows)
+    assert res.column("decode_ok").to_pylist() == [True, False]
+    assert res.column("n_out").to_pylist() == [n_out, 0]
+    assert res.column("sr_out").to_pylist() == [16000, 16000]
