@@ -1514,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_divergences_split": q.drift_divergences_split,
         "events_hopping_window": q.events_hopping_window,
         "user_range_window_events": q.user_range_window_events,
+        "doc_edit_distance_adjacent": q.doc_edit_distance_adjacent,
         "audio_features": _audio_features,
         "g711_audio_features": _g711_audio_features,
         "adpcm_audio_features": _adpcm_audio_features,
@@ -1578,7 +1579,7 @@ _ORACLE_PRIORITY = [
     "revenue_by_segment_day",
     "union_region_nation_names", "g711_audio_features",
     "adpcm_audio_features",
-    "stratified_sample_documents", "long_tail_documents",
+    "stratified_sample_documents", "doc_edit_distance_adjacent",
     "lang_quality_documents", "quantiles_by_returnflag",
     "drift_events_split", "drift_divergences_split",
     "audio_features", "audio_chunks",
@@ -1660,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_divergences_split": q.DRIFT_DIVERGENCES_SQL,
         "events_hopping_window": q.EVENTS_HOPPING_SQL,
         "user_range_window_events": q.USER_RANGE_WINDOW_SQL,
+        "doc_edit_distance_adjacent": q.DOC_EDIT_DISTANCE_SQL,
         "audio_features": AUDIO_FEATURES_SQL,
         "g711_audio_features": G711_FEATURES_SQL,
         "adpcm_audio_features": ADPCM_FEATURES_SQL,

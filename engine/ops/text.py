@@ -435,3 +435,124 @@ def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,
         "term": pa.array([t for t, _ in top], pa.string()),
         "cnt": pa.array([c for _, c in top], pa.int64()),
     })
+
+
+# ------------------------------------------------------------ edit distance
+#
+# Myers' bit-parallel Levenshtein (Myers, "A fast bit-vector algorithm for
+# approximate string matching based on dynamic programming", JACM 1999 —
+# public algorithm).  Two forms:
+#   - myers_distance_batch64: patterns capped at 64 bytes, the whole DP
+#     runs as elementwise uint64 numpy ops ACROSS ROWS — thousands of
+#     pairwise distances per vectorized step, the hot path for pair-level
+#     text QA inside map_batches/map_groups;
+#   - myers_levenshtein: the general multi-word scalar form for arbitrary
+#     lengths (transcript-level QA), property-tested against a naive DP.
+
+
+def myers_levenshtein(a: bytes | str, b: bytes | str) -> int:
+    """Exact Levenshtein distance via Myers' block-based bit-vector DP."""
+    if isinstance(a, str):
+        a = a.encode()
+    if isinstance(b, str):
+        b = b.encode()
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    m = len(a)
+    words = -(-m // 64)
+    peq = [[0] * words for _ in range(256)]
+    for i, ch in enumerate(a):
+        peq[ch][i >> 6] |= 1 << (i & 63)
+    mask = (1 << 64) - 1
+    last_bit = 1 << ((m - 1) & 63)
+    pv = [mask] * words
+    mv = [0] * words
+    score = m
+    for ch in b:
+        pb = peq[ch]
+        carry_h = 1          # the +1 injected at the bottom of Ph<<1
+        carry_m = 0
+        carry_x = 0          # carry of the (Eq & Pv) + Pv addition
+        for w in range(words):
+            eq = pb[w]
+            pvw, mvw = pv[w], mv[w]
+            xv = eq | mvw
+            s = (eq & pvw) + pvw + carry_x
+            carry_x = s >> 64
+            xh = ((s & mask) ^ pvw) | eq
+            ph = mvw | (~(xh | pvw) & mask)
+            mh = pvw & xh
+            if w == words - 1:
+                if ph & last_bit:
+                    score += 1
+                elif mh & last_bit:
+                    score -= 1
+            nph = ((ph << 1) | carry_h) & mask
+            carry_h = (ph >> 63) & 1
+            nmh = ((mh << 1) | carry_m) & mask
+            carry_m = (mh >> 63) & 1
+            pv[w] = nmh | (~(xv | nph) & mask)
+            mv[w] = nph & xv
+    return score
+
+
+def myers_distance_batch64(a_list: list[bytes], b_list: list[bytes]) -> np.ndarray:
+    """Vectorized pairwise Levenshtein for patterns <= 64 bytes: one
+    uint64 DP word per row, every step an elementwise numpy op over ALL
+    rows at once.  Inputs longer than 64 bytes must be pre-truncated by
+    the caller (the oracle contract states the cap explicitly)."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    m = np.array([len(a) for a in a_list], dtype=np.int64)
+    if (m > 64).any() or any(len(b) > 64 for b in b_list):
+        raise ValueError("batch64 requires byte strings <= 64 long")
+    lb = np.array([len(b) for b in b_list], dtype=np.int64)
+    maxb = int(lb.max()) if n else 0
+    # Pattern bitmask table: (rows, 256) uint64.
+    peq = np.zeros((n, 256), dtype=np.uint64)
+    rows = np.concatenate([np.full(len(a), r, dtype=np.int64)
+                           for r, a in enumerate(a_list)]) if m.sum() else \
+        np.zeros(0, dtype=np.int64)
+    chars = np.concatenate([np.frombuffer(a, dtype=np.uint8)
+                            for a in a_list]) if m.sum() else \
+        np.zeros(0, dtype=np.uint8)
+    pos = np.concatenate([np.arange(len(a), dtype=np.uint64)
+                          for a in a_list]) if m.sum() else \
+        np.zeros(0, dtype=np.uint64)
+    np.bitwise_or.at(peq, (rows, chars.astype(np.int64)),
+                     np.uint64(1) << pos)
+    # Text matrix padded with 0 (update masked beyond each row's length).
+    bmat = np.zeros((n, maxb), dtype=np.int64)
+    for r, b in enumerate(b_list):
+        if b:
+            bmat[r, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    pv = np.full(n, ones, dtype=np.uint64)
+    mv = np.zeros(n, dtype=np.uint64)
+    score = m.copy()
+    high = np.where(m > 0, np.uint64(1) << (m - 1).clip(0).astype(np.uint64),
+                    np.uint64(0))
+    ridx = np.arange(n)
+    for j in range(maxb):
+        active = j < lb
+        eq = peq[ridx, bmat[:, j]]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        inc = active & ((ph & high) != 0) & (m > 0)
+        dec = active & ~inc & ((mh & high) != 0) & (m > 0)
+        score += inc.astype(np.int64) - dec.astype(np.int64)
+        ph = (ph << np.uint64(1)) | np.uint64(1)
+        mh = mh << np.uint64(1)
+        npv = mh | ~(xv | ph)
+        nmv = ph & xv
+        pv = np.where(active, npv, pv)
+        mv = np.where(active, nmv, mv)
+    # Empty-pattern rows: distance is |b|.
+    score = np.where(m == 0, lb, score)
+    return score

@@ -1849,6 +1849,68 @@ def user_range_window_events(sf_dir: str, range_seconds: int = 3600):
         .sort(["user_id", "event_id"])
 
 
+def doc_edit_distance_adjacent(sf_dir: str, prefix: int = 64):
+    """Pairwise EDIT DISTANCE (Myers bit-parallel Levenshtein,
+    engine/ops/text.py) between each document and its successor within the
+    same language — the string-similarity primitive of near-dup
+    verification and transcript QA, vectorized so the whole partition's
+    DP runs as elementwise uint64 numpy steps across all pairs at once.
+
+    Oracle contract: distances are over the first ``prefix`` (=64)
+    CHARACTERS, which equals 64 BYTES on this ASCII corpus (DuckDB
+    ``levenshtein`` counts characters; the batch kernel works on bytes) —
+    the cap is what keeps the batched DP single-word.  Successor pairing
+    is LEAD(doc_id) per lang.
+
+    Scale shape: lang partitions are few and fat; at 100 TB this would
+    ride the salted-partition + boundary-row exchange with_row_number
+    uses.  Here the per-lang group is one vectorized pass."""
+    from engine.ops.text import myers_distance_batch64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pairs_per_lang(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "lang": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "next_doc_id": pa.array([], pa.int64()),
+            "edit_distance": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        texts = [t.encode()[:prefix] if t is not None else b""
+                 for t in group.column("text").take(pa.array(order)).to_pylist()]
+        dist = myers_distance_batch64(texts[:-1], texts[1:])
+        langs = group.column("lang").take(pa.array(order[:-1]))
+        return pa.table({
+            "lang": langs,
+            "doc_id": pa.array(ids[:-1]),
+            "next_doc_id": pa.array(ids[1:]),
+            "edit_distance": pa.array(dist),
+        })
+
+    return ds.groupby("lang").map_groups(pairs_per_lang,
+                                         batch_format="pyarrow") \
+        .sort(["lang", "doc_id"])
+
+
+DOC_EDIT_DISTANCE_SQL = """
+WITH w AS (
+  SELECT lang, doc_id, LEFT(text, 64) AS a,
+         LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS next_doc_id,
+         LEAD(LEFT(text, 64)) OVER (PARTITION BY lang ORDER BY doc_id) AS b
+  FROM documents
+)
+SELECT lang, doc_id, next_doc_id,
+       CAST(levenshtein(COALESCE(a, ''), COALESCE(b, '')) AS BIGINT)
+         AS edit_distance
+FROM w WHERE next_doc_id IS NOT NULL ORDER BY lang, doc_id
+"""
+
+
 USER_RANGE_WINDOW_SQL = """
 SELECT user_id, event_id, ts,
   COUNT(*) OVER w AS cnt_1h,

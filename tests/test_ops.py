@@ -820,3 +820,43 @@ def test_audio_resample_stage_matches_interp(ray_session):
     assert res.column("decode_ok").to_pylist() == [True, False]
     assert res.column("n_out").to_pylist() == [n_out, 0]
     assert res.column("sr_out").to_pylist() == [16000, 16000]
+
+
+def test_myers_levenshtein_matches_naive_dp():
+    """Both Myers forms (general multi-word scalar; batched single-word)
+    against an independent O(mn) DP, including the length-0 and >64-byte
+    multi-block regimes."""
+    from engine.ops.text import myers_distance_batch64, myers_levenshtein
+
+    def dp(a: bytes, b: bytes) -> int:
+        d = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            prev = d.copy()
+            d[0] = i
+            for j in range(1, len(b) + 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1,
+                           prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return int(d[len(b)])
+
+    assert myers_levenshtein("kitten", "sitting") == 3
+    assert myers_levenshtein("", "abc") == 3
+    assert myers_levenshtein("abc", "") == 3
+
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(120):
+        la, lb = rng.integers(0, 64, 2)
+        a = bytes(rng.integers(97, 103, la).astype(np.uint8))
+        b = bytes(rng.integers(97, 103, lb).astype(np.uint8))
+        pairs.append((a, b))
+    got = myers_distance_batch64([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [dp(a, b) for a, b in pairs]
+
+    for _ in range(15):
+        la, lb = rng.integers(0, 300, 2)
+        a = bytes(rng.integers(97, 105, la).astype(np.uint8))
+        b = bytes(rng.integers(97, 105, lb).astype(np.uint8))
+        assert myers_levenshtein(a, b) == dp(a, b)
+
+    with pytest.raises(ValueError):
+        myers_distance_batch64([b"x" * 65], [b"y"])
