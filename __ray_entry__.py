@@ -902,6 +902,57 @@ def _audio_resample_report(sf_dir: str):
                            zero_copy_batch=True).sort("aud_id")
 
 
+SPECTRO_N = 2048
+
+SPECTRO_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
+b AS (
+  SELECT i,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    150 + (i * 37) % 500 AS dur,
+    3 + (i % 60) AS k
+  FROM ids
+), g AS (SELECT i, k, (sr * dur) // 1000 AS n FROM b)
+SELECT i AS aud_id, 'pcm16' AS codec, TRUE AS decode_ok,
+  CAST(CASE WHEN n < 256 THEN 0 ELSE (n - 256) // 128 + 1 END AS BIGINT)
+    AS n_frames,
+  CAST(k AS BIGINT) AS peak_bin
+FROM g ORDER BY aud_id
+"""
+
+
+def _audio_spectrogram_report(sf_dir: str):
+    """Hash-oracled spectral feature extraction (round-4): the pure-tone
+    corpus (engine/data/audio_synth.py:synth_tone — frequencies on exact
+    256-point FFT bin centers) must decode, frame, window and FFT through
+    AudioSpectrogramStage to the closed-form frame count and dominant bin
+    the DuckDB oracle recomputes from i.  The float features (spectral
+    centroid, log-mel vector) are pytest-verified (tests/test_ops.py),
+    not part of the hash contract."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_tone_batch
+    from engine.ops.multimodal import AudioSpectrogramStage
+
+    ds = ray.data.range(SPECTRO_N).map_batches(
+        synth_tone_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(AudioSpectrogramStage, batch_format="pyarrow",
+                         batch_size=128, concurrency=(1, 8))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_frames": t.column("n_frames"),
+            "peak_bin": t.column("peak_bin"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
 AUDIO_FEATURES_N = 4096
 
 AUDIO_FEATURES_SQL = """
@@ -1521,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flac_audio_features": _flac_audio_features,
         "audio_trim_report": _audio_trim_report,
         "audio_resample_report": _audio_resample_report,
+        "audio_spectrogram_report": _audio_spectrogram_report,
         "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
@@ -1568,7 +1620,7 @@ _ORACLE_PRIORITY = [
     "orders_per_segment", "repair_extract_events",
     "jsonl_repair_events", "token_stats_documents",
     "top_terms_per_document", "heavy_hitter_terms",
-    "mad_quantity_by_returnflag", "rolling_fingerprint",
+    "rolling_fingerprint",
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
     "user_running_value", "orders_row_number", "lineitem_quantity_ranks",
@@ -1586,7 +1638,8 @@ _ORACLE_PRIORITY = [
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
     "embedding_near_dup_exact", "image_dims",
     "png_image_metadata",
-    "flac_audio_features", "audio_trim_report", "video_frame_sample", "clips_verdicts_vs_planted",
+    "flac_audio_features", "audio_trim_report", "audio_spectrogram_report",
+    "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
 ]
 
@@ -1668,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "flac_audio_features": FLAC_FEATURES_SQL,
         "audio_trim_report": TRIM_FEATURES_SQL,
         "audio_resample_report": RESAMPLE_SQL,
+        "audio_spectrogram_report": SPECTRO_SQL,
         "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,

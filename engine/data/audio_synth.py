@@ -249,6 +249,38 @@ def synth_trim_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def synth_tone(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for pure-tone clip i: a sine whose
+    frequency sits EXACTLY on FFT bin k = 3 + i % 60 of a 256-point frame
+    (f = k * sr / 256), so the dominant spectral bin of any windowed
+    power spectrum is k in closed form — the spectrogram oracle."""
+    from engine.audio import encode_audio
+
+    sr = SRS[i % 4]
+    dur_ms = 150 + (i * 37) % 500
+    n = sr * dur_ms // 1000
+    k = 3 + (i % 60)
+    phase = 2.0 * np.pi * k / 256.0
+    sig = (0.5 * np.sin(phase * np.arange(n, dtype=np.float64))) \
+        .astype(np.float32)
+    return encode_audio(sig, sr, "pcm16"), "pcm16"
+
+
+def synth_tone_batch(batch: pa.Table) -> pa.Table:
+    """ray.data.range(n) batch → (aud_id, bytes, codec) pure-tone rows."""
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_tone(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })
+
+
 def synth_audio_batch(batch: pa.Table) -> pa.Table:
     """ray.data.range(n) batch → (aud_id, bytes, codec) rows."""
     ids = batch.column("id").to_numpy()

@@ -128,6 +128,97 @@ class AudioChunkStage:
             .append_column("chunk_rms", pa.array(np.concatenate(rms)))
 
 
+def mel_filterbank(n_mels: int, n_fft: int, sr_hz: int) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular HTK-mel filterbank (public
+    formula: mel(f) = 2595 * log10(1 + f / 700))."""
+    f_max = sr_hz / 2.0
+    mels = np.linspace(0.0, 2595.0 * np.log10(1.0 + f_max / 700.0),
+                       n_mels + 2)
+    hz = 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * hz / sr_hz).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            if c > lo:
+                fb[m - 1, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            if hi > c:
+                fb[m - 1, k] = (hi - k) / (hi - c)
+    return fb
+
+
+class AudioSpectrogramStage:
+    """bytes+codec → framed spectral features: n_frames, dominant FFT bin
+    of the mean power spectrum, spectral centroid, and the clip-mean
+    log-mel energy vector (list<float>, the actual ASR training feature).
+
+    Actor-pool stage: the Hann window and mel filterbank are built ONCE in
+    __init__ (per-actor state); per clip the framing is a stride-tricks
+    view (no copy), the FFT is one batched np.fft.rfft over all frames,
+    and the mel projection one matmul.  The dominant-bin contract is
+    SQL-oracle-able on a pure-tone corpus with frequencies on exact bin
+    centers (engine/data/audio_synth.py:synth_tone)."""
+
+    def __init__(self, bytes_col: str = "bytes", codec_col: str = "codec",
+                 sr_col: str | None = None, n_fft: int = 256,
+                 hop: int = 128, n_mels: int = 23) -> None:
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+        self.sr_col = sr_col
+        self.n_fft = n_fft
+        self.hop = hop
+        self.n_mels = n_mels
+        self.window = np.hanning(n_fft).astype(np.float64)
+        self._fb_cache: dict[int, np.ndarray] = {}
+
+    def _fb(self, sr: int) -> np.ndarray:
+        if sr not in self._fb_cache:
+            self._fb_cache[sr] = mel_filterbank(self.n_mels, self.n_fft, sr)
+        return self._fb_cache[sr]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col)
+        codecs = batch.column(self.codec_col).to_pylist()
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        n_frames = np.zeros(n, dtype=np.int64)
+        peak_bin = np.full(n, -1, dtype=np.int64)
+        centroid = np.full(n, np.nan)
+        mel_out: list[list[float] | None] = []
+        for i in range(n):
+            try:
+                sig, sr = decode_any(blobs[i].as_py(), codecs[i])
+            except (AudioDecodeError, NotImplementedError):
+                mel_out.append(None)
+                continue
+            ok[i] = True
+            if sig.size < self.n_fft:
+                mel_out.append(None)
+                continue
+            nf = (sig.size - self.n_fft) // self.hop + 1
+            n_frames[i] = nf
+            frames = np.lib.stride_tricks.as_strided(
+                sig, shape=(nf, self.n_fft),
+                strides=(sig.strides[0] * self.hop, sig.strides[0]))
+            spec = np.fft.rfft(frames.astype(np.float64) * self.window,
+                               axis=1)
+            power = (spec.real ** 2 + spec.imag ** 2).mean(axis=0)
+            peak_bin[i] = int(np.argmax(power[1:])) + 1   # skip DC
+            freqs = np.arange(power.size)
+            psum = power.sum()
+            centroid[i] = float((freqs * power).sum() / psum) if psum else np.nan
+            mel = self._fb(int(sr)) @ power
+            mel_out.append(np.log(mel + 1e-10).tolist())
+        return batch.drop_columns([self.bytes_col]) \
+            .append_column("decode_ok", pa.array(ok)) \
+            .append_column("n_frames", pa.array(n_frames)) \
+            .append_column("peak_bin", pa.array(peak_bin)) \
+            .append_column("spectral_centroid", pa.array(centroid)) \
+            .append_column("log_mel", pa.array(mel_out,
+                                               pa.list_(pa.float64())))
+
+
 class AudioTrimStage:
     """bytes+codec → leading/trailing-silence trim report (lead_sil,
     trail_sil, n_kept, kept_rms) — the silence-strip step of an ASR

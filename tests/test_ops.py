@@ -860,3 +860,41 @@ def test_myers_levenshtein_matches_naive_dp():
 
     with pytest.raises(ValueError):
         myers_distance_batch64([b"x" * 65], [b"y"])
+
+
+def test_spectrogram_stage_math(ray_session):
+    """Spectral feature checks: the dominant bin tracks a pure tone, the
+    mel filterbank rows are triangles that tile the spectrum, and the
+    log-mel vector peaks in the filter containing the tone."""
+    from engine.audio import encode_audio
+    from engine.ops.multimodal import AudioSpectrogramStage, mel_filterbank
+
+    sr, n_fft = 16000, 256
+    k = 20                                      # exact bin center
+    sig = (0.5 * np.sin(2 * np.pi * k / n_fft
+                        * np.arange(8000))).astype(np.float32)
+    rows = pa.table({
+        "aud_id": pa.array([0, 1, 2], pa.int64()),
+        "bytes": pa.array([encode_audio(sig, sr, "pcm16"),
+                           encode_audio(sig[:100], sr, "pcm16"),  # < n_fft
+                           b"junk"], pa.large_binary()),
+        "codec": pa.array(["pcm16", "pcm16", "pcm16"], pa.string()),
+    })
+    out = AudioSpectrogramStage()(rows)
+    assert out.column("decode_ok").to_pylist() == [True, True, False]
+    assert out.column("peak_bin").to_pylist()[0] == k
+    assert out.column("n_frames").to_pylist() == [(8000 - 256) // 128 + 1, 0, 0]
+    assert abs(out.column("spectral_centroid").to_pylist()[0] - k) < 1.0
+    mel = out.column("log_mel").to_pylist()
+    assert mel[1] is None and mel[2] is None
+    mel0 = np.array(mel[0])
+    assert mel0.size == 23
+    # the tone's frequency falls inside the argmax mel filter's support
+    fb = mel_filterbank(23, n_fft, sr)
+    assert fb.shape == (23, 129)
+    best = int(np.argmax(mel0))
+    assert fb[best, k] > 0
+    # filters are nonnegative and each interior bin is covered by >=1 filter
+    assert (fb >= 0).all()
+    covered = (fb.sum(axis=0) > 0)
+    assert covered[3:120].all()
