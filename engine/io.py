@@ -145,3 +145,55 @@ def export_audio_shards(ds, out_dir: str, *, batch_size: int = 256,
         fn_constructor_kwargs={"out_dir": out_dir, **cols},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def read_audio_shards(manifest_ds, shards_dir: str, *, batch_size: int = 256,
+                      concurrency: int | None = None):
+    """Manifest Dataset → (clip_id, bytes, codec='flac', sr_hz, n_samples)
+    clips Dataset — the SOURCE matching AudioShardSink: each task opens
+    its batch's shard files once (manifest rows from one shard are
+    adjacent, so a batch touches few files) and slices the packed FLAC
+    streams back out.  Error rows (shard IS NULL) are dropped — they never
+    made it into a shard."""
+
+    def fetch(batch, _dir=shards_dir):
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+
+        shards_dir = _dir
+        shards = batch.column("shard").to_pylist()
+        offs = batch.column("offset").to_numpy(zero_copy_only=False)
+        lens = batch.column("length").to_numpy(zero_copy_only=False)
+        ids = batch.column("clip_id").to_pylist()
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+        nsamp = batch.column("n_samples").to_numpy(zero_copy_only=False)
+        out_ids, out_bytes, out_sr, out_n = [], [], [], []
+        handles: dict[str, object] = {}
+        try:
+            for i, sh in enumerate(shards):
+                if sh is None:
+                    continue
+                f = handles.get(sh)
+                if f is None:
+                    f = handles[sh] = open(os.path.join(shards_dir, sh), "rb")
+                f.seek(int(offs[i]))
+                out_bytes.append(f.read(int(lens[i])))
+                out_ids.append(ids[i])
+                out_sr.append(int(srs[i]))
+                out_n.append(int(nsamp[i]))
+        finally:
+            for f in handles.values():
+                f.close()
+        return pa.table({
+            "clip_id": pa.array(out_ids, pa.string()),
+            "bytes": pa.array(out_bytes, pa.large_binary()),
+            "codec": pa.array(["flac"] * len(out_ids), pa.string()),
+            "sr_hz": pa.array(np.asarray(out_sr, dtype=np.int32)),
+            "n_samples": pa.array(np.asarray(out_n, dtype=np.int64)),
+        })
+
+    return manifest_ds.map_batches(fetch, batch_format="pyarrow",
+                                   batch_size=batch_size,
+                                   concurrency=concurrency)

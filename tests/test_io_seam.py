@@ -136,3 +136,32 @@ def test_audio_shard_sink_roundtrip(ray_session, tmp_path):
     after = {f: hashlib.sha1(open(os.path.join(out_dir, f), "rb").read()).hexdigest()
              for f in os.listdir(out_dir)}
     assert before == after
+
+
+def test_audio_shard_source_roundtrip(ray_session, tmp_path):
+    """Sink → source round trip as Datasets: every clip read back through
+    read_audio_shards decodes to the same PCM; error rows are dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from engine.audio import decode_any, encode_audio
+    from engine.io import export_audio_shards, read_audio_shards
+
+    sigs = {f"r{i}": (0.3 * np.sin(np.arange(900) / (5 + i))).astype(np.float32)
+            for i in range(12)}
+    t = pa.table({
+        "clip_id": pa.array(list(sigs) + ["bad"], pa.string()),
+        "bytes": pa.array([encode_audio(s, 16000, "pcm16")
+                           for s in sigs.values()] + [b"x"], pa.large_binary()),
+        "codec": pa.array(["pcm16"] * 12 + ["pcm16"], pa.string()),
+    })
+    out_dir = str(tmp_path / "packs")
+    manifest = export_audio_shards(ray.data.from_arrow(t), out_dir)
+    clips = read_audio_shards(manifest, out_dir).to_pandas()
+    assert sorted(clips["clip_id"]) == sorted(sigs)
+    for _, r in clips.iterrows():
+        sig, sr = decode_any(r["bytes"], r["codec"])
+        assert sr == 16000 and sig.size == int(r["n_samples"])
+        want = np.round(sigs[r["clip_id"]] * 32767.0)
+        assert np.array_equal(np.round(sig * 32767.0), want)
