@@ -112,6 +112,10 @@ QUERY_BENCH_NAMES = [
     # round-4 operators (one representative per new family)
     "orders_grouping_sets", "clicks_near_purchase", "heavy_hitter_terms",
     "orders_row_number", "jsonl_gz_repair_events",
+    # round-4 continuation: real audio codecs + new window/drift/text ops
+    "flac_audio_features", "adpcm_audio_features", "audio_spectrogram_report",
+    "user_range_window_events", "drift_divergences_split",
+    "doc_edit_distance_adjacent",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single
