@@ -1491,12 +1491,52 @@ def _drift_clips(sf_dir: str):
 
 
 def _codec_duration_quantiles(sf_dir: str):
+    """Per-codec duration t-digest quantiles, finalized with the
+    keyed-tree-reduce pattern (round-4: a 4-key groupby range-partitions
+    into mostly-empty blocks whose schema Ray erases — the
+    streaming_executor_state.py:793 warning class; per-batch digest
+    partials + a keyed tree merge move only keys x fan-in JSON rows and
+    let the driver emit the 4-row report with an explicit schema).  The
+    salted-shuffle variant of this report stays available as
+    engine/stages.py:salted_group_digests for heavy-state groups."""
+    import json as _json
+
+    from engine.checks.sketches import TDigest
     from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
-    from engine.stages import salted_group_digests
+    from engine.stages import keyed_tree_reduce
 
     n = min(clips_count_for_sf_dir(sf_dir), 10_000)
-    ds = cached_clips_dataset(n, seed=42, columns=["clip_id", "codec", "dur_ms"])
-    return salted_group_digests(ds, key="codec", value_col="dur_ms").sort("codec")
+    ds = cached_clips_dataset(n, seed=42, columns=["codec", "dur_ms"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codecs = np.asarray(batch.column("codec").to_pylist(), dtype=object)
+        durs = batch.column("dur_ms").to_numpy().astype(np.float64)
+        st = {}
+        for c in np.unique(codecs):
+            td = TDigest()
+            td.update(durs[codecs == c])
+            st[str(c)] = [td.state(), int((codecs == c).sum())]
+        return pa.table({"state": pa.array([_json.dumps(st)],
+                                           pa.large_string())})
+
+    def combine_pair(a, b):
+        td = TDigest.from_state(a[0])
+        td.merge(TDigest.from_state(b[0]))
+        return [td.state(), a[1] + b[1]]
+
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        combine_pair)
+    keys = sorted(merged)
+    digs = {k: TDigest.from_state(merged[k][0]) for k in keys}
+    return pa.table({
+        "codec": pa.array(keys, pa.string()),
+        "n": pa.array([merged[k][1] for k in keys], pa.int64()),
+        "p50": pa.array([round(digs[k].quantile(0.5), 2) for k in keys],
+                        pa.float64()),
+        "p95": pa.array([round(digs[k].quantile(0.95), 2) for k in keys],
+                        pa.float64()),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
