@@ -652,7 +652,7 @@ def _g711_audio_features(sf_dir: str):
     ds = ray.data.range(G711_FEATURES_N).map_batches(
         synth_g711_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -668,6 +668,17 @@ def _g711_audio_features(sf_dir: str):
 
     return out.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True).sort("aud_id")
+
+
+def _codec_pool() -> tuple[int, int]:
+    """Actor-pool sizing for the fixed-N codec corpora: pre-start enough
+    actors to beat the autoscaler ramp (the round-3 flagship finding) but
+    never so many that the pool starves upstream synth tasks of CPUs (an
+    (8,16) floor deadlocks an 8-CPU oracle-gate session)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return (max(1, min(8, cpus // 4)), max(2, min(16, cpus // 2)))
 
 
 ADPCM_FEATURES_N = 4096
@@ -714,7 +725,7 @@ def _adpcm_audio_features(sf_dir: str):
     ds = ray.data.range(ADPCM_FEATURES_N).map_batches(
         synth_adpcm_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -741,7 +752,8 @@ b AS (
     CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
                ELSE 44100 END AS sr,
     100 + (i * 37) % 400 AS dur,
-    5000 + (i % 60) * 400 AS k
+    CASE WHEN i % 3 = 1 THEN 40 + (i % 50) * 7
+         ELSE 5000 + (i % 60) * 400 END AS k
   FROM ids
 ), g AS (
   SELECT i, c, (sr * dur) // 1000 AS n,
@@ -773,7 +785,7 @@ def _flac_audio_features(sf_dir: str):
     ds = ray.data.range(FLAC_FEATURES_N).map_batches(
         synth_flac_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                         batch_size=128, concurrency=(1, 8))
+                         batch_size=64, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -833,7 +845,7 @@ def _audio_trim_report(sf_dir: str):
     ds = ray.data.range(TRIM_FEATURES_N).map_batches(
         synth_trim_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioTrimStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -886,7 +898,7 @@ def _audio_resample_report(sf_dir: str):
     ds = ray.data.range(G711_FEATURES_N).map_batches(
         synth_g711_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioResampleStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -938,7 +950,7 @@ def _audio_spectrogram_report(sf_dir: str):
     ds = ray.data.range(SPECTRO_N).map_batches(
         synth_tone_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioSpectrogramStage, batch_format="pyarrow",
-                         batch_size=128, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1032,7 +1044,7 @@ def _audio_chunks(sf_dir: str):
     ds = ray.data.range(AUDIO_FEATURES_N).map_batches(
         synth_audio_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioChunkStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
     return out.map_batches(
         lambda t: t.select(["aud_id", "codec", "chunk_idx", "start_sample",
                             "n_samples"]),
@@ -1055,7 +1067,7 @@ def _audio_features(sf_dir: str):
     ds = ray.data.range(AUDIO_FEATURES_N).map_batches(
         synth_audio_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 8))
+                         batch_size=128, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         ok = t.column("decode_ok").to_numpy(zero_copy_only=False)

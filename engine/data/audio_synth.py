@@ -170,17 +170,20 @@ def synth_adpcm_batch(batch: pa.Table) -> pa.Table:
 
 def synth_flac(i: int) -> tuple[bytes, str]:
     """(payload bytes, codec tag) for REAL-FLAC clip i.  Three signal
-    classes by i % 3 — constant (CONSTANT subframe), alternating ±v
-    (FIXED-order residuals), period-4 square (v,v,-v,-v) — all two-valued
-    on the int16 grid, so the LOSSLESS decode is the exact input and
-    rms/zcr are closed-form in i for the DuckDB oracle."""
+    classes by i % 3 — constant (CONSTANT subframe), small-amplitude
+    alternating ±v (FIXED order + Rice residuals: small v keeps the Rice
+    cost under 16 bits/sample so the encoder picks FIXED), period-4 square
+    at large v (Rice loses to raw 16-bit there, so the encoder picks
+    VERBATIM) — all two-valued on the int16 grid, so the LOSSLESS decode
+    is the exact input and rms/zcr are closed-form in i for the DuckDB
+    oracle, while the three classes pin all three subframe kinds."""
     from engine.flac import encode_flac
 
     c = i % 3
     sr = SRS[i % 4]
     dur_ms = 100 + (i * 37) % 400
     n = sr * dur_ms // 1000
-    v = 5000 + (i % 60) * 400
+    v = (40 + (i % 50) * 7) if c == 1 else 5000 + (i % 60) * 400
     if c == 0:
         pcm = np.full(n, v, dtype=np.int16)
     elif c == 1:

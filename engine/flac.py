@@ -245,6 +245,21 @@ class _BitReader:
         v = self.read_uint(k)
         return v - (1 << k) if k and (v >> (k - 1)) else v
 
+    def read_signed_block(self, n: int, k: int) -> np.ndarray:
+        """n consecutive k-bit two's-complement values, vectorized (the
+        VERBATIM/warmup path — one strided reshape + dot instead of n
+        scalar bit reads)."""
+        if n == 0 or k == 0:
+            self.pos += n * k
+            return np.zeros(n, dtype=np.int64)
+        if self.pos + n * k > self.bits.size:
+            raise AudioDecodeError("flac: bitstream overrun")
+        sl = self.bits[self.pos:self.pos + n * k].reshape(n, k)
+        self.pos += n * k
+        weights = (1 << np.arange(k - 1, -1, -1)).astype(np.uint64)
+        v = (sl.astype(np.uint64) * weights[None, :]).sum(axis=1).astype(np.int64)
+        return np.where(v >= (1 << (k - 1)), v - (1 << k), v)
+
     def read_unary(self) -> int:
         idx = int(self.count_before[self.pos])
         if idx >= self.ones.size:
@@ -397,9 +412,7 @@ def _decode_residual(rd: _BitReader, blocksize: int, order: int) -> np.ndarray:
         param = rd.read_uint(pbits)
         if param == escape:
             raw_bps = rd.read_uint(5)
-            vals = np.array([rd.read_signed(raw_bps) for _ in range(nsamp)],
-                            dtype=np.int64)
-            out.append(vals)
+            out.append(rd.read_signed_block(nsamp, raw_bps))
         else:
             out.append(rd.read_rice_partition(nsamp, param))
     return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
@@ -416,18 +429,15 @@ def _decode_subframe(rd: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     if ftype == 0:
         out = np.full(blocksize, rd.read_signed(ebps), dtype=np.int64)
     elif ftype == 1:
-        out = np.array([rd.read_signed(ebps) for _ in range(blocksize)],
-                       dtype=np.int64)
+        out = rd.read_signed_block(blocksize, ebps)
     elif 8 <= ftype <= 12:
         order = ftype - 8
-        warm = np.array([rd.read_signed(ebps) for _ in range(order)],
-                        dtype=np.int64)
+        warm = rd.read_signed_block(order, ebps)
         resid = _decode_residual(rd, blocksize, order)
         out = _restore_fixed(order, warm, resid)
     elif ftype >= 32:
         order = ftype - 31
-        warm = np.array([rd.read_signed(ebps) for _ in range(order)],
-                        dtype=np.int64)
+        warm = rd.read_signed_block(order, ebps)
         prec = rd.read_uint(4) + 1
         if prec == 16:
             raise AudioDecodeError("flac: invalid qlp precision")
