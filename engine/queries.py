@@ -1862,14 +1862,31 @@ def doc_edit_distance_adjacent(sf_dir: str, prefix: int = 64):
     the cap is what keeps the batched DP single-word.  Successor pairing
     is LEAD(doc_id) per lang.
 
-    Scale shape: lang partitions are few and fat; at 100 TB this would
-    ride the salted-partition + boundary-row exchange with_row_number
-    uses.  Here the per-lang group is one vectorized pass."""
+    Scale shape: langs are few and fat, so this groups on a DENSE hashed
+    partition id (a lang never splits; a partition may hold several) and
+    segments by lang inside the kernel — the same shape every window
+    query here uses, which keeps the exchange free of the mostly-empty
+    range partitions a raw 5-key groupby would produce.  At 100 TB the
+    successor pairing would add the boundary-row exchange
+    with_row_number uses."""
     from engine.ops.text import myers_distance_batch64
+    from engine.stages import bucket_shuffle_partitions
 
+    n_parts = bucket_shuffle_partitions()
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
-    def pairs_per_lang(group: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
+        from engine.checks.sketches import HyperLogLog
+
+        langs = np.asarray(
+            [x if x is not None else "\x00" for x in
+             batch.column("lang").to_pylist()], dtype=object)
+        # hash64 is process-stable (unlike builtin str hash) — a lang must
+        # land in exactly one partition on every worker.
+        h = HyperLogLog.hash64(langs) % np.uint64(n_parts)
+        return batch.append_column("part", pa.array(h.astype(np.int64)))
+
+    def pairs_partition(group: pa.Table) -> pa.Table:
         empty = pa.table({
             "lang": pa.array([], pa.string()),
             "doc_id": pa.array([], pa.int64()),
@@ -1879,21 +1896,28 @@ def doc_edit_distance_adjacent(sf_dir: str, prefix: int = 64):
         if n < 2:
             return empty
         ids = group.column("doc_id").to_numpy()
-        order = np.argsort(ids, kind="mergesort")
+        langs = np.asarray(group.column("lang").to_pylist(), dtype=object)
+        order = np.lexsort((ids, langs.astype(str)))
         ids = ids[order]
+        langs = langs[order]
         texts = [t.encode()[:prefix] if t is not None else b""
                  for t in group.column("text").take(pa.array(order)).to_pylist()]
-        dist = myers_distance_batch64(texts[:-1], texts[1:])
-        langs = group.column("lang").take(pa.array(order[:-1]))
+        same = langs[1:] == langs[:-1]
+        keep = np.flatnonzero(same)
+        if keep.size == 0:
+            return empty
+        dist = myers_distance_batch64([texts[j] for j in keep],
+                                      [texts[j + 1] for j in keep])
         return pa.table({
-            "lang": langs,
-            "doc_id": pa.array(ids[:-1]),
-            "next_doc_id": pa.array(ids[1:]),
+            "lang": pa.array([str(langs[j]) for j in keep], pa.string()),
+            "doc_id": pa.array(ids[keep]),
+            "next_doc_id": pa.array(ids[keep + 1]),
             "edit_distance": pa.array(dist),
         })
 
-    return ds.groupby("lang").map_groups(pairs_per_lang,
-                                         batch_format="pyarrow") \
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part").map_groups(pairs_partition, batch_format="pyarrow") \
         .sort(["lang", "doc_id"])
 
 
