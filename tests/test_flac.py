@@ -185,3 +185,43 @@ def test_rejects_non_mono_and_bad_magic():
     raw[8 + 12] |= 0b00001000
     with pytest.raises(AudioDecodeError, match="channels"):
         decode_flac(bytes(raw))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(-32768, 32767), min_size=0, max_size=3000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    blocksize=st.sampled_from([192, 1024, 4096]),
+)
+def test_flac_roundtrip_hypothesis(data, sr, blocksize):
+    """Lossless for ANY int16 sequence, any blocksize, any rate."""
+    sig = np.array(data, dtype=np.int16)
+    dec, dsr = decode_flac(encode_flac(sig, sr, blocksize=blocksize))
+    assert dsr == sr
+    assert np.array_equal(dec, sig)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nibbles=st.lists(st.integers(0, 15), min_size=2, max_size=2000),
+    pred0=st.integers(-32768, 32767),
+    idx0=st.integers(0, 88),
+)
+def test_ima_core_matches_audioop_hypothesis(nibbles, pred0, idx0):
+    """The IMA state machine agrees with stdlib audioop from ANY initial
+    (predictor, step index) state, not just (0, 0)."""
+    audioop = pytest.importorskip("audioop")
+    from engine.audio import ima_decode_nibbles
+
+    nibs = np.array(nibbles[:len(nibbles) & ~1], dtype=np.uint8)
+    packed = ((nibs[0::2] << 4) | nibs[1::2]).astype(np.uint8).tobytes()
+    with np.errstate(all="ignore"):
+        frag, _ = audioop.adpcm2lin(packed, 2, (pred0, idx0))
+    ref = np.frombuffer(frag, dtype=np.int16)
+    mine = ima_decode_nibbles(nibs.reshape(1, -1),
+                              np.array([pred0]), np.array([idx0]))[0]
+    assert np.array_equal(ref, mine)
