@@ -2947,9 +2947,11 @@ DRIFT_VALUE_EDGES_N = 50               # interior bins; step 10
 
 def _drift_split_counts(sf_dir: str):
     """Shared distributed-counts stage for the drift queries: per-batch
-    (axis, bin, half) partial counts over events, summed by a bounded
-    groupby.  Returns the counts as a small pandas frame (axes x bins x 2
-    rows — driver-bounded by construction)."""
+    (axis, bin, half) partial counts over events, merged by the
+    keyed-tree-reduce finalize (a ~120-key groupby range-partitions into
+    mostly-empty blocks — the RefBundle schema-warning class).  Returns
+    the counts as a small pandas frame (axes x bins x 2 rows —
+    driver-bounded by construction)."""
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     edges = np.linspace(DRIFT_VALUE_EDGES_LO, DRIFT_VALUE_EDGES_HI,
@@ -2962,24 +2964,27 @@ def _drift_split_counts(sf_dir: str):
         values = batch.column("value").to_numpy().astype(np.float64)
         vbin = np.searchsorted(edges, values, side="right")
         vbin[values == edges[-1]] = edges.size - 1     # Histogram.update rule
-        axes, bins, halves, cnts = [], [], [], []
+        st: dict[str, int] = {}
         for h in (0, 1):
             m = half == h
             for t, c in zip(*np.unique(types[m], return_counts=True)):
-                axes.append("event_type"); bins.append(str(t))
-                halves.append(h); cnts.append(int(c))
+                st[f"event_type\x1f{t}\x1f{h}"] = int(c)
             for b, c in zip(*np.unique(vbin[m], return_counts=True)):
-                axes.append("value"); bins.append(f"{int(b):04d}")
-                halves.append(h); cnts.append(int(c))
-        return pa.table({"axis": pa.array(axes, pa.string()),
-                         "bin": pa.array(bins, pa.string()),
-                         "half": pa.array(halves, pa.int8()),
-                         "cnt": pa.array(cnts, pa.int64())})
+                st[f"value\x1f{int(b):04d}\x1f{h}"] = int(c)
+        return pa.table({"state": pa.array([json.dumps(st)],
+                                           pa.large_string())})
 
-    return (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["axis", "bin", "half"]).sum("cnt")
-    ).to_pandas()   # bounded: axes x bins x 2 rows
+    from engine.stages import keyed_tree_reduce
+
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        lambda a, b: a + b)
+    import pandas as pd
+
+    rows = [k.split("\x1f") + [v] for k, v in merged.items()]
+    return pd.DataFrame(rows, columns=["axis", "bin", "half", "sum(cnt)"]) \
+        .astype({"half": np.int8, "sum(cnt)": np.int64})
 
 
 def _drift_split_histograms(counts):
