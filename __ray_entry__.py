@@ -1551,6 +1551,46 @@ def _codec_duration_quantiles(sf_dir: str):
     })
 
 
+def _transcript_repair_distance(sf_dir: str):
+    """Rows-only transcript QA: how far did tolerant repair move each
+    transcript?  Runs the repair kernel (RepairJsonStage) over the clips
+    table, then the BATCHED Myers bit-parallel Levenshtein between the raw
+    and canonical-repaired 64-byte prefixes — the repair-magnitude signal
+    a curation pipeline thresholds on.  Non-SQL-expressible (the repair
+    canonicalization is the whole reference kernel); the Myers math and
+    the repair semantics each have their own hash-oracled companions
+    (doc_edit_distance_adjacent, clips_verdicts_vs_planted)."""
+    import ray.data
+
+    from engine.data.clips import cached_clips_dataset, clips_count_for_sf_dir
+    from engine.ops.text import myers_distance_batch64
+    from engine.stages import RepairJsonStage
+
+    n = min(clips_count_for_sf_dir(sf_dir), 10_000)
+    ds = cached_clips_dataset(n, seed=42, columns=["clip_id", "transcript"])
+    repaired = ds.map_batches(
+        RepairJsonStage, fn_constructor_kwargs={"col": "transcript"},
+        batch_format="pyarrow", batch_size=512, concurrency=_codec_pool())
+
+    def distance(batch: pa.Table) -> pa.Table:
+        raws = [(t or "").encode()[:64]
+                for t in batch.column("transcript").to_pylist()]
+        canon = [(t or "").encode()[:64]
+                 for t in batch.column("transcript_repaired").to_pylist()]
+        dist = myers_distance_batch64(raws, canon)
+        ok = batch.column("transcript_ok").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "clip_id": batch.column("clip_id"),
+            "parse_ok": batch.column("transcript_ok"),
+            "n_repairs": batch.column("transcript_repairs"),
+            "repair_distance": pa.array(
+                np.where(ok, dist, -1).astype(np.int64)),
+        })
+
+    return repaired.map_batches(distance, batch_format="pyarrow",
+                                zero_copy_batch=True).sort("clip_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine import queries as q
 
@@ -1656,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantity": _tdigest_quantity,
         "drift_clips": _drift_clips,
         "codec_duration_quantiles": _codec_duration_quantiles,
+        "transcript_repair_distance": _transcript_repair_distance,
     }
 
 

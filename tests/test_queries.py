@@ -587,3 +587,58 @@ def test_user_range_window_ties_include_peers(ray_session, tmp_path):
     assert pd_got.loc[pd_got.event_id.isin([4, 5, 6]), "cnt_1h"].tolist() == [4, 4, 4]
     # the two ts=0 peers see only each other
     assert pd_got.loc[pd_got.event_id.isin([1, 2]), "cnt_1h"].tolist() == [2, 2]
+
+
+def test_transcript_repair_distance_semantics(ray_session):
+    """Planted invariants under the TOLERANT contract: clean rows parse ok
+    with distance >= 0; bad_json rows parse ok with heuristics fired and a
+    nonzero rewrite; junk rows still parse (tolerant repair demotes them
+    to a plain string — the reference contract) but move far from the raw
+    text.  The -1 (unrepairable) branch is exercised directly through a
+    strict-mode stage on a pinned strict-error input."""
+    import __ray_entry__ as entrymod
+    from engine.data.clips import _row_defect
+
+    out = entrymod._transcript_repair_distance(SF_DIR).to_pandas()
+    assert len(out) > 0
+    # dup_id defect rows duplicate clip ids — keep one per id for .loc
+    by_id = out.drop_duplicates("clip_id").set_index("clip_id")
+    checked = {"junk": 0, "bad_json": 0, "clean": 0}
+    bad_signal = 0
+    for i in range(2000):
+        d = _row_defect(i, 42)
+        cid = f"clip-{i:012d}"
+        if cid not in by_id.index or d not in checked:
+            continue
+        row = by_id.loc[cid]
+        assert row["repair_distance"] >= 0
+        if d == "bad_json":
+            # Some malformations repair without a LOGGED heuristic (the
+            # missing-comma path) and some sit past the 64-byte prefix,
+            # so the rewrite signal is asserted in aggregate below.
+            assert row["parse_ok"]
+            if row["n_repairs"] > 0 or row["repair_distance"] > 0:
+                bad_signal += 1
+        elif d == "junk":
+            # junk includes EMPTY transcripts (repair maps "" -> ""), so
+            # only the tolerant parse itself is guaranteed, not movement
+            assert row["parse_ok"]
+        checked[d] += 1
+    assert all(v > 0 for v in checked.values())
+    assert bad_signal >= 0.8 * checked["bad_json"]
+
+    # -1 branch: a strict-mode stage returns None for a pinned strict error.
+    from engine.ops.text import myers_distance_batch64
+    from engine.stages import RepairJsonStage
+
+    t = pa.table({"transcript": pa.array(['{"a" 1}', '{"a": 1}'], pa.string())})
+    rep = RepairJsonStage(col="transcript", strict=True,
+                          skip_json_loads=True)(t)
+    reps = rep.column("transcript_repaired").to_pylist()
+    assert reps[0] is None and reps[1] is not None
+    ok = rep.column("transcript_ok").to_numpy(zero_copy_only=False)
+    dist = myers_distance_batch64(
+        [(x or "").encode()[:64] for x in rep.column("transcript").to_pylist()],
+        [(x or "").encode()[:64] for x in reps])
+    final = np.where(ok, dist, -1)
+    assert final[0] == -1 and final[1] >= 0
