@@ -625,6 +625,8 @@ def sniff_format(data: bytes) -> str | None:
         return "pnm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:3] == b"\xFF\xD8\xFF":
+        return "jpeg"
     if len(data) >= 18 and data[2] == 2 and data[1] == 0 and data[16] in (24, 32):
         return "tga"
     return None
@@ -641,6 +643,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_pnm(data), "pnm"
     if fmt == "bmp":
         return decode_bmp(data), "bmp"
+    if fmt == "jpeg":
+        from engine.jpeg import decode_jpeg  # deferred: jpeg imports image
+
+        return decode_jpeg(data), "jpeg"
     if fmt == "tga":
         return decode_tga(data), "tga"
     raise ImageDecodeError("unrecognized image format")
