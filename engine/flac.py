@@ -1,4 +1,4 @@
-"""Pure-numpy FLAC subset codec (RFC 9639, public spec) — mono, 16-bit.
+"""Pure-numpy FLAC subset codec (RFC 9639, public spec) — mono/stereo, 16-bit.
 
 Replaces the honest ``flac`` stub in engine/audio.py with a REAL lossless
 codec: the encoder emits CONSTANT / FIXED(0-4) / VERBATIM subframes with
@@ -8,9 +8,12 @@ Rice partition order, both Rice methods (4- and 5-bit parameters), escaped
 way the validation tier demands: CRC-8 on every frame header, CRC-16 on
 every frame, and the STREAMINFO MD5 over the full decoded stream.
 
-Subset bounds (documented, not silent): mono, 16-bit samples, fixed
-blocking strategy.  Stereo decorrelation and 8/24-bit depths raise
-``AudioDecodeError`` — the clip corpus (BASELINE.json input_hint) is mono.
+Subset bounds (documented, not silent): 1-2 channels, 16-bit samples,
+fixed blocking strategy.  Stereo uses the full RFC 9639 decorrelation set
+(independent / left-side / right-side / mid-side, chosen per frame by
+coded size; side channels carry 17 bits).  8/24-bit depths and >2
+channels raise ``AudioDecodeError`` — the clip corpus (BASELINE.json
+input_hint) is mono; stereo keeps real-world .flac files decodable.
 
 Scale/perf notes:
   - Rice DECODE is the hot path.  Unary scanning is a sequential recurrence
@@ -176,16 +179,52 @@ def _encode_subframe(block: np.ndarray, bps: int) -> list[np.ndarray]:
     return pieces
 
 
+def _stereo_frame_plan(left: np.ndarray, right: np.ndarray):
+    """Pick the cheapest stereo decorrelation for one frame (RFC 9639
+    §9.1.3): independent / left-side / right-side / mid-side.  Each
+    candidate channel is subframe-encoded once and reused, so choosing
+    costs 4 subframe encodes, not 8.  Side channels carry bps+1 bits."""
+    side = left - right
+    mid = (left + right) >> 1                       # arithmetic shift (spec)
+    enc_l = _encode_subframe(left, 16)
+    enc_r = _encode_subframe(right, 16)
+    enc_s = _encode_subframe(side, 17)
+    enc_m = _encode_subframe(mid, 16)
+
+    def bits(pieces):
+        return sum(p.size for p in pieces)
+
+    cands = [
+        (bits(enc_l) + bits(enc_r), 0b0001, enc_l, enc_r),
+        (bits(enc_l) + bits(enc_s), 0b1000, enc_l, enc_s),
+        (bits(enc_s) + bits(enc_r), 0b1001, enc_s, enc_r),
+        (bits(enc_m) + bits(enc_s), 0b1010, enc_m, enc_s),
+    ]
+    return min(cands, key=lambda c: c[0])
+
+
 def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
-    """int16 mono PCM -> FLAC bytes (STREAMINFO + fixed-blocksize frames)."""
+    """int16 PCM -> FLAC bytes (STREAMINFO + fixed-blocksize frames).
+
+    ``pcm`` is (n,) mono or (n, 2) stereo; stereo frames pick the best of
+    independent / left-side / right-side / mid-side decorrelation."""
     pcm = np.asarray(pcm, dtype=np.int16)
-    n = pcm.size
+    if pcm.ndim == 2 and pcm.shape[1] == 1:
+        pcm = pcm[:, 0]
+    if pcm.ndim not in (1, 2) or (pcm.ndim == 2 and pcm.shape[1] != 2):
+        raise ValueError("encode_flac expects (n,) mono or (n, 2) stereo")
+    stereo = pcm.ndim == 2
+    n = pcm.shape[0]
     bps = 16
-    md5 = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+    channels = 2 if stereo else 1
+    # C-order tobytes of (n, 2) interleaves L0 R0 L1 R1 ... (MD5 contract)
+    md5 = hashlib.md5(np.ascontiguousarray(
+        pcm.astype("<i2")).tobytes()).digest()
     info = np.concatenate([
         _uint_bits(blocksize, 16), _uint_bits(blocksize, 16),
         _uint_bits(0, 24), _uint_bits(0, 24),
-        _uint_bits(sr_hz, 20), _uint_bits(0, 3), _uint_bits(bps - 1, 5),
+        _uint_bits(sr_hz, 20), _uint_bits(channels - 1, 3),
+        _uint_bits(bps - 1, 5),
         _uint_bits(n, 36)])
     info_bytes = np.packbits(info).tobytes() + md5
     head = (b"fLaC" + bytes([0x80]) + len(info_bytes).to_bytes(3, "big")
@@ -193,17 +232,25 @@ def encode_flac(pcm: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
     frames = []
     for fi, start in enumerate(range(0, max(n, 1), blocksize)):
         block = pcm[start:start + blocksize].astype(np.int64)
-        if block.size == 0:
+        if block.shape[0] == 0:
             break
+        if stereo:
+            _cost, ch_nibble, sub0, sub1 = _stereo_frame_plan(
+                block[:, 0], block[:, 1])
+            subframes = [sub0, sub1]
+        else:
+            ch_nibble = 0b0000
+            subframes = [_encode_subframe(block, bps)]
         hdr = bytearray()
         hdr += bytes([0xFF, 0xF8])                  # sync + fixed strategy
         hdr += bytes([(0b0111 << 4) | 0b0000])      # 16-bit blocksize; sr=info
-        hdr += bytes([(0b0000 << 4) | (0b100 << 1)])  # mono; 16-bit; reserved
+        hdr += bytes([(ch_nibble << 4) | (0b100 << 1)])   # 16-bit; reserved
         hdr += _utf8_number(fi)
-        hdr += int(block.size - 1).to_bytes(2, "big")
+        hdr += int(block.shape[0] - 1).to_bytes(2, "big")
         hdr.append(crc8(bytes(hdr)))
         pieces = [np.unpackbits(np.frombuffer(bytes(hdr), dtype=np.uint8))]
-        pieces += _encode_subframe(block, bps)
+        for sub in subframes:
+            pieces += sub
         bits = np.concatenate(pieces)
         if bits.size % 8:
             bits = np.concatenate([bits, np.zeros(8 - bits.size % 8,
@@ -453,7 +500,8 @@ def _decode_subframe(rd: _BitReader, blocksize: int, bps: int) -> np.ndarray:
 
 
 def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
-    """FLAC bytes -> (int16 mono samples, sample_rate).
+    """FLAC bytes -> (int16 samples, sample_rate); samples are (n,) for
+    mono streams, (n, 2) for stereo.
 
     Verifies frame-header CRC-8, frame CRC-16, and the STREAMINFO MD5 of
     the whole decoded stream; raises AudioDecodeError on any mismatch."""
@@ -492,7 +540,7 @@ def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
     channels = _field(100, 3) + 1
     bps = _field(103, 5) + 1
     total = _field(108, 36)
-    if channels != 1:
+    if channels not in (1, 2):
         raise AudioDecodeError(f"flac: unsupported channels={channels}")
     if bps != 16:
         raise AudioDecodeError(f"flac: unsupported bps={bps}")
@@ -531,15 +579,36 @@ def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
             raise AudioDecodeError("flac: invalid sample-rate code")
         elif sr_code and sr_code in _SR_FIXED and _SR_FIXED[sr_code] != sr_hz:
             raise AudioDecodeError("flac: frame/STREAMINFO sample-rate clash")
-        if ch_code != 0:
-            raise AudioDecodeError("flac: only mono frames supported")
+        if channels == 1:
+            if ch_code != 0:
+                raise AudioDecodeError("flac: mono stream with non-mono frame")
+        elif ch_code not in (0b0001, 0b1000, 0b1001, 0b1010):
+            raise AudioDecodeError(
+                f"flac: unsupported channel assignment {ch_code:#06b}")
         if ss_code not in (0, 0b100):
             raise AudioDecodeError("flac: unsupported frame sample size")
         hdr_end_bit = rd.pos
         hdr_bytes = frame_bytes[frame_start_bit // 8: hdr_end_bit // 8]
         if crc8(hdr_bytes) != rd.read_uint(8):
             raise AudioDecodeError("flac: frame header CRC-8 mismatch")
-        samples = _decode_subframe(rd, blocksize, 16)
+        if channels == 1:
+            samples = _decode_subframe(rd, blocksize, 16)
+        else:
+            # Side channels (the difference signal) carry one extra bit.
+            bps0 = 17 if ch_code == 0b1001 else 16
+            bps1 = 17 if ch_code in (0b1000, 0b1010) else 16
+            ch0 = _decode_subframe(rd, blocksize, bps0)
+            ch1 = _decode_subframe(rd, blocksize, bps1)
+            if ch_code == 0b0001:
+                left, right = ch0, ch1
+            elif ch_code == 0b1000:                 # left/side
+                left, right = ch0, ch0 - ch1
+            elif ch_code == 0b1001:                 # side/right
+                left, right = ch0 + ch1, ch1
+            else:                                   # mid/side
+                mid2 = (ch0 << 1) | (ch1 & 1)
+                left, right = (mid2 + ch1) >> 1, (mid2 - ch1) >> 1
+            samples = np.stack([left, right], axis=1)
         rd.align()
         frame_end = rd.pos // 8
         if crc16(frame_bytes[frame_start_bit // 8: frame_end]) != rd.read_uint(16):
@@ -547,10 +616,14 @@ def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
         if (samples > 32767).any() or (samples < -32768).any():
             raise AudioDecodeError("flac: sample overflow")
         out.append(samples.astype(np.int16))
-        decoded += samples.size
+        decoded += samples.shape[0]
+    empty_shape = (0,) if channels == 1 else (0, 2)
     pcm = (np.concatenate(out)[:total] if out
-           else np.zeros(0, dtype=np.int16))
+           else np.zeros(empty_shape, dtype=np.int16))
     if md5_expect and md5_expect != b"\x00" * 16:
-        if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != md5_expect:
+        # MD5 covers the interleaved little-endian stream (C-order tobytes
+        # of (n, 2) is exactly L0 R0 L1 R1 ...).
+        interleaved = np.ascontiguousarray(pcm.astype("<i2")).tobytes()
+        if hashlib.md5(interleaved).digest() != md5_expect:
             raise AudioDecodeError("flac: stream MD5 mismatch")
     return pcm, sr_hz

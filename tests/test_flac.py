@@ -175,14 +175,14 @@ def test_md5_gate():
         decode_flac(bytes(raw))
 
 
-def test_rejects_non_mono_and_bad_magic():
+def test_rejects_multichannel_and_bad_magic():
     with pytest.raises(AudioDecodeError):
         decode_flac(b"RIFFxxxxWAVE")
     sig = np.arange(64, dtype=np.int16)
     raw = bytearray(encode_flac(sig, 8000))
     # channels field: STREAMINFO bit offset 100..102 lives in byte 8+12,
-    # bits 4..6 (100 = 12*8+4).  Set channels-1 = 1 (stereo).
-    raw[8 + 12] |= 0b00001000
+    # in-byte bits 4..6 MSB-first.  Set channels-1 = 2 (3 channels).
+    raw[8 + 12] |= 0b00000100
     with pytest.raises(AudioDecodeError, match="channels"):
         decode_flac(bytes(raw))
 
@@ -225,3 +225,83 @@ def test_ima_core_matches_audioop_hypothesis(nibbles, pred0, idx0):
     mine = ima_decode_nibbles(nibs.reshape(1, -1),
                               np.array([pred0]), np.array([idx0]))[0]
     assert np.array_equal(ref, mine)
+
+
+# ------------------------------------------------------------------ stereo
+
+
+def _first_frame_assignment(raw: bytes) -> int:
+    """Channel-assignment nibble of the first frame (header byte 3)."""
+    # fLaC + 4-byte block header + 34-byte STREAMINFO = frame start at 42
+    assert raw[42:44] == b"\xFF\xF8"
+    return raw[45] >> 4
+
+
+def test_stereo_roundtrip_and_mode_selection():
+    """Each RFC 9639 decorrelation mode is selected when it is strictly
+    cheapest, and every mode round-trips losslessly."""
+    rng = np.random.default_rng(11)
+    n = 6000
+    noise = rng.integers(-30000, 30000, n).astype(np.int16)
+    small = rng.integers(-100, 100, n).astype(np.int16)
+
+    # independent: two unrelated full-range channels
+    indep = np.stack([noise, rng.integers(-30000, 30000, n)], 1).astype(np.int16)
+    # left/side: identical channels -> side == 0
+    ls = np.stack([noise, noise], 1)
+    # right/side: cheap right (constant), noisy-but-correlated left
+    rs = np.stack([(small + 777).astype(np.int16),
+                   np.full(n, 777, np.int16)], 1)
+    # mid/side: anti-correlated -> mid ~ 0, side = 2x
+    ms = np.stack([small, (-small.astype(np.int32)).astype(np.int16)], 1)
+
+    expect = {0b0001: indep, 0b1000: ls, 0b1001: rs, 0b1010: ms}
+    for nibble, pcm in expect.items():
+        raw = encode_flac(pcm, 16000)
+        assert _first_frame_assignment(raw) == nibble, hex(nibble)
+        dec, sr = decode_flac(raw)
+        assert sr == 16000
+        assert dec.shape == pcm.shape
+        assert np.array_equal(dec, pcm)
+
+
+def test_stereo_extreme_side_amplitude():
+    """side = L - R spans the full 17-bit range; must stay lossless."""
+    n = 2000
+    pcm = np.stack([np.full(n, -32768, np.int16),
+                    np.full(n, 32767, np.int16)], 1)
+    dec, _ = decode_flac(encode_flac(pcm, 8000))
+    assert np.array_equal(dec, pcm)
+
+
+def test_stereo_empty_and_single_sample():
+    for n in (0, 1, 3):
+        pcm = np.arange(2 * n, dtype=np.int16).reshape(n, 2)
+        dec, _ = decode_flac(encode_flac(pcm, 8000))
+        assert dec.shape == (n, 2)
+        assert np.array_equal(dec, pcm)
+
+
+def test_stereo_md5_gate():
+    pcm = np.stack([np.arange(512, dtype=np.int16),
+                    np.arange(512, dtype=np.int16)[::-1]], 1)
+    raw = bytearray(encode_flac(pcm, 8000))
+    raw[8 + 18] ^= 0xFF                          # corrupt stored MD5
+    with pytest.raises(AudioDecodeError, match="MD5"):
+        decode_flac(bytes(raw))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(st.tuples(st.integers(-32768, 32767),
+                            st.integers(-32768, 32767)),
+                  min_size=0, max_size=1500),
+    blocksize=st.sampled_from([192, 1024, 4096]),
+)
+def test_flac_stereo_roundtrip_hypothesis(data, blocksize):
+    """Lossless for ANY stereo int16 sequence regardless of which
+    decorrelation mode each frame picks."""
+    pcm = np.array(data, dtype=np.int16).reshape(-1, 2)
+    dec, _ = decode_flac(encode_flac(pcm, 16000, blocksize=blocksize))
+    assert dec.shape == pcm.shape
+    assert np.array_equal(dec, pcm)
