@@ -803,6 +803,76 @@ def _flac_audio_features(sf_dir: str):
                            zero_copy_batch=True).sort("aud_id")
 
 
+FLAC_STEREO_N = 2048
+
+FLAC_STEREO_SQL = """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(2048)),
+b AS (
+  SELECT i, i % 4 AS c,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+               ELSE 44100 END AS sr,
+    100 + (i * 37) % 400 AS dur,
+    40 + (i % 50) * 7 AS a,
+    500 + (i % 40) * 9 AS bb,
+    2000 + (i % 30) * 50 AS p,
+    50 + (i % 20) * 3 AS q
+  FROM ids
+), g AS (
+  SELECT i, c, a, bb, p, q, (sr * dur) // 1000 AS n,
+    ((sr * dur) // 1000 + 1) // 2 AS hi
+  FROM b
+)
+SELECT i AS aud_id, 'flac' AS codec, TRUE AS decode_ok,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(CASE c WHEN 0 THEN 8 WHEN 1 THEN 10 WHEN 2 THEN 9 ELSE 1 END
+       AS INTEGER) AS assignment,
+  ROUND(SQRT((CASE c WHEN 2 THEN hi * POW(bb + a, 2)
+                          + (n - hi) * POW(bb - a, 2)
+              WHEN 3 THEN n * POW(p, 2)
+              ELSE n * POW(a, 2) END) / n) / 32767.0, 4) AS rms_l,
+  ROUND(SQRT((CASE c WHEN 2 THEN n * POW(bb, 2)
+              WHEN 3 THEN n * POW(q, 2)
+              ELSE n * POW(a, 2) END) / n) / 32767.0, 4) AS rms_r
+FROM g ORDER BY aud_id
+"""
+
+
+def _flac_stereo_features(sf_dir: str):
+    """Hash-oracled STEREO real-FLAC decode (round-4 continuation): each
+    corpus class (engine/data/audio_synth.py:synth_flac_stereo) makes one
+    RFC 9639 decorrelation mode strictly cheapest, so the oracle pins BOTH
+    the lossless per-channel RMS and the encoder's chosen channel
+    assignment (read back from the real frame header, not assumed)."""
+    import ray.data
+
+    from engine.data.audio_synth import synth_flac_stereo_batch
+    from engine.ops.multimodal import FlacStereoFeatureStage
+    from engine.queries import _half_away_round
+
+    ds = ray.data.range(FLAC_STEREO_N).map_batches(
+        synth_flac_stereo_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(FlacStereoFeatureStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=_codec_pool())
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "aud_id": t.column("aud_id"),
+            "codec": t.column("codec"),
+            "decode_ok": t.column("decode_ok"),
+            "n_samples": t.column("n_samples"),
+            "assignment": t.column("assignment"),
+            "rms_l": pa.array(_half_away_round(
+                t.column("rms_l").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+            "rms_r": pa.array(_half_away_round(
+                t.column("rms_r").to_numpy(zero_copy_only=False), 4),
+                pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("aud_id")
+
+
 TRIM_FEATURES_N = 2048
 
 TRIM_FEATURES_SQL = """
@@ -1641,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q.q1_pricing_summary,
         "stats_lineitem_quantity": q.stats_lineitem_quantity,
         "grouped_stats_orderpriority": q.grouped_stats_orderpriority,
+        "corr_stats_by_returnflag": q.corr_stats_by_returnflag,
         "dedup_exact_documents": q.dedup_exact_documents,
         "distinct_users_events": q.distinct_users_events,
         "distinct_users_by_type": q.distinct_users_by_type,
@@ -1701,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g711_audio_features": _g711_audio_features,
         "adpcm_audio_features": _adpcm_audio_features,
         "flac_audio_features": _flac_audio_features,
+        "flac_stereo_features": _flac_stereo_features,
         "audio_trim_report": _audio_trim_report,
         "audio_resample_report": _audio_resample_report,
         "audio_spectrogram_report": _audio_spectrogram_report,
@@ -1762,7 +1834,7 @@ _ORACLE_PRIORITY = [
     "orders_grouping_sets", "purchase_attribution",
     "purchase_attribution_forward", "clicks_near_purchase",
     "revenue_by_segment_day",
-    "union_region_nation_names", "g711_audio_features",
+    "corr_stats_by_returnflag", "g711_audio_features",
     "adpcm_audio_features",
     "stratified_sample_documents", "doc_edit_distance_adjacent",
     "lang_quality_documents", "quantiles_by_returnflag",
@@ -1771,7 +1843,7 @@ _ORACLE_PRIORITY = [
     "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
     "embedding_near_dup_exact",
     "png_image_metadata", "jpeg_image_metadata",
-    "flac_audio_features", "audio_trim_report", "audio_spectrogram_report",
+    "flac_audio_features", "flac_stereo_features", "audio_spectrogram_report",
     "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
 ]
@@ -1792,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": q.Q1_SQL,
         "stats_lineitem_quantity": q.STATS_QTY_SQL,
         "grouped_stats_orderpriority": q.GROUPED_ORDERS_SQL,
+        "corr_stats_by_returnflag": q.CORR_STATS_SQL,
         "dedup_exact_documents": q.DEDUP_EXACT_SQL,
         "distinct_users_events": q.DISTINCT_USERS_SQL,
         "distinct_users_by_type": q.DISTINCT_BY_TYPE_SQL,
@@ -1852,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "g711_audio_features": G711_FEATURES_SQL,
         "adpcm_audio_features": ADPCM_FEATURES_SQL,
         "flac_audio_features": FLAC_FEATURES_SQL,
+        "flac_stereo_features": FLAC_STEREO_SQL,
         "audio_trim_report": TRIM_FEATURES_SQL,
         "audio_resample_report": RESAMPLE_SQL,
         "audio_spectrogram_report": SPECTRO_SQL,

@@ -297,3 +297,58 @@ def synth_audio_batch(batch: pa.Table) -> pa.Table:
         "bytes": pa.array(blobs, pa.large_binary()),
         "codec": pa.array(codecs, pa.string()),
     })
+
+
+def synth_flac_stereo(i: int) -> tuple[bytes, str]:
+    """(payload bytes, codec tag) for STEREO real-FLAC clip i.  Four signal
+    classes by i % 4, each constructed so one RFC 9639 decorrelation mode
+    is strictly cheapest (the oracle pins the chosen assignment nibble):
+
+      0  R == L            -> left/side  (side == 0, constant)
+      1  R == -L           -> mid/side   (mid == 0, constant; side = 2L)
+      2  L = bb +/- a, R = bb (constant) -> right/side (R is near-free)
+      3  L = +/-p, R anti-phase +/-q with p >> q -> independent
+         (side amplitude p+q costs more than either channel)
+
+    All two-valued per channel on the int16 grid -> lossless decode makes
+    per-channel RMS a closed form of i for the DuckDB oracle."""
+    from engine.flac import encode_flac
+
+    c = i % 4
+    sr = SRS[i % 4]
+    dur_ms = 100 + (i * 37) % 400
+    n = sr * dur_ms // 1000
+    a = 40 + (i % 50) * 7
+    bb = 500 + (i % 40) * 9
+    p = 2000 + (i % 30) * 50
+    q = 50 + (i % 20) * 3
+    alt = np.empty(n, dtype=np.int64)
+    alt[0::2], alt[1::2] = 1, -1
+    if c == 0:
+        left = a * alt
+        right = left.copy()
+    elif c == 1:
+        left = a * alt
+        right = -left
+    elif c == 2:
+        left = bb + a * alt
+        right = np.full(n, bb, dtype=np.int64)
+    else:
+        left = p * alt
+        right = -q * alt                        # anti-phase vs left
+    pcm = np.stack([left, right], axis=1).astype(np.int16)
+    return encode_flac(pcm, sr), "flac"
+
+
+def synth_flac_stereo_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id").to_numpy()
+    blobs, codecs = [], []
+    for i in ids:
+        raw, codec = synth_flac_stereo(int(i))
+        blobs.append(raw)
+        codecs.append(codec)
+    return pa.table({
+        "aud_id": pa.array(ids.astype(np.int64)),
+        "bytes": pa.array(blobs, pa.large_binary()),
+        "codec": pa.array(codecs, pa.string()),
+    })

@@ -627,3 +627,24 @@ def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
         if hashlib.md5(interleaved).digest() != md5_expect:
             raise AudioDecodeError("flac: stream MD5 mismatch")
     return pcm, sr_hz
+
+
+def first_frame_assignment(raw: bytes) -> int:
+    """Channel-assignment nibble (RFC 9639 §9.1.3) of the FIRST frame —
+    the cheap container-introspection twin of jpeg_info: walks the
+    metadata blocks without touching any entropy-coded data, so an oracle
+    can pin which stereo decorrelation the encoder chose."""
+    if len(raw) < 42 or raw[:4] != b"fLaC":
+        raise AudioDecodeError("not a fLaC stream")
+    pos = 4
+    while pos + 4 <= len(raw):
+        hdr = raw[pos]
+        length = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    else:
+        raise AudioDecodeError("flac: no last-metadata flag")
+    if pos + 4 > len(raw) or raw[pos] != 0xFF or (raw[pos + 1] >> 2) != 0x3E:
+        raise AudioDecodeError("flac: no frame after metadata")
+    return raw[pos + 3] >> 4

@@ -560,3 +560,54 @@ class JpegCheckStage:
             .append_column("subsampling", pa.array(subs, pa.string())) \
             .append_column("restart_interval", pa.array(rst)) \
             .append_column("decode_ok", pa.array(ok))
+
+
+class FlacStereoFeatureStage:
+    """Stereo-FLAC binary column → (n_samples, assignment, rms_l, rms_r,
+    decode_ok).  REAL lossless decode through engine/flac.py (CRC + MD5
+    gates) plus the container-introspection nibble saying WHICH RFC 9639
+    decorrelation mode the frame used — so an oracle can pin both the
+    decoded signal statistics and the encoder's mode selection.  RMS uses
+    integer-exact sums of squares (int64) before the one float divide,
+    mirroring the SQL oracle's arithmetic."""
+
+    def __init__(self, bytes_col: str = "bytes",
+                 id_col: str = "aud_id") -> None:
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.audio import AudioDecodeError
+        from engine.flac import decode_flac, first_frame_assignment
+
+        blobs = batch.column(self.bytes_col)
+        n_rows = batch.num_rows
+        ns = np.zeros(n_rows, dtype=np.int64)
+        assign = np.zeros(n_rows, dtype=np.int32)
+        rms_l = np.zeros(n_rows, dtype=np.float64)
+        rms_r = np.zeros(n_rows, dtype=np.float64)
+        ok = np.zeros(n_rows, dtype=bool)
+        for i in range(n_rows):
+            raw = blobs[i].as_py() or b""
+            try:
+                pcm, _sr = decode_flac(raw)
+                assign[i] = first_frame_assignment(raw)
+            except AudioDecodeError:
+                continue
+            if pcm.ndim != 2 or pcm.shape[1] != 2 or pcm.shape[0] == 0:
+                continue
+            n = pcm.shape[0]
+            x = pcm.astype(np.int64)
+            ssl = int((x[:, 0] * x[:, 0]).sum())
+            ssr = int((x[:, 1] * x[:, 1]).sum())
+            rms_l[i] = np.sqrt(float(ssl) / n) / 32767.0
+            rms_r[i] = np.sqrt(float(ssr) / n) / 32767.0
+            ns[i] = n
+            ok[i] = True
+        keep = [c for c in batch.column_names if c != self.bytes_col]
+        return batch.select(keep) \
+            .append_column("decode_ok", pa.array(ok)) \
+            .append_column("n_samples", pa.array(ns)) \
+            .append_column("assignment", pa.array(assign)) \
+            .append_column("rms_l", pa.array(rms_l)) \
+            .append_column("rms_r", pa.array(rms_r))

@@ -232,6 +232,124 @@ ORDER BY o_orderpriority
 """
 
 
+def _exact_dot(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> int:
+    """Overflow-safe Σ a[i]*b[i] for int64 inputs: chunked int64 dot
+    products accumulated into a Python int.  With |a*b| <= ~5e14 per
+    element a 4096-chunk stays under 2^62; across chunks the Python int is
+    arbitrary precision — the numpy twin of DuckDB's HUGEINT SUM."""
+    tot = 0
+    for s in range(0, a.size, chunk):
+        tot += int(np.dot(a[s:s + chunk], b[s:s + chunk]))
+    return tot
+
+
+def corr_stats_by_returnflag(sf_dir: str):
+    """Bivariate statistical aggregates (CORR / COVAR_SAMP / COVAR_POP /
+    REGR_SLOPE / REGR_INTERCEPT / R2) of quantity vs extendedprice per
+    returnflag, from INTEGER-EXACT moment sums.
+
+    Scale shape: the classic one-pass parallel moments combiner — each
+    batch emits one tiny state row holding (n, Σx, Σy, Σx², Σy², Σxy) per
+    flag (cent-scaled ints, so sums are exact), keyed_tree_reduce merges
+    them in Python arbitrary-precision ints (the HUGEINT twin), and the
+    closed forms run once on the driver over 3 groups.  No shuffle at all;
+    the exchange moves O(batches × flags) JSON rows regardless of skew."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = np.asarray(batch.column("l_returnflag").to_pandas(), object)
+        x = _half_away_cents(batch.column("l_quantity").to_numpy())
+        y = _half_away_cents(batch.column("l_extendedprice").to_numpy())
+        st: dict[str, list[int]] = {}
+        for flag in np.unique(flags):
+            m = flags == flag
+            xm, ym = x[m], y[m]
+            st[str(flag)] = [int(xm.size), int(xm.sum()), int(ym.sum()),
+                             _exact_dot(xm, xm), _exact_dot(ym, ym),
+                             _exact_dot(xm, ym)]
+        return pa.table({"state": pa.array([json.dumps(st)],
+                                           pa.large_string())})
+
+    from engine.stages import keyed_tree_reduce
+
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda a, b: [a[i] + b[i] for i in range(6)])
+    keys = sorted(merged)
+    rows = {"flag": [], "n": [], "corr_qp": [], "covar_samp_qp": [],
+            "covar_pop_qp": [], "regr_slope_qp": [],
+            "regr_intercept_qp": [], "r2_qp": []}
+    for k in keys:
+        n, sx, sy, sxx, syy, sxy = merged[k]
+        num = n * sxy - sx * sy               # exact Python ints throughout
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        fnum, fdxx, fdyy = float(num), float(dxx), float(dyy)
+        rows["flag"].append(k)
+        rows["n"].append(n)
+        # Mirror the oracle's IEEE op order exactly (CAST-then-divide).
+        rows["corr_qp"].append(float(_half_away_round(
+            fnum / (np.sqrt(fdxx) * np.sqrt(fdyy)), 6)))
+        rows["covar_samp_qp"].append(float(_half_away_round(
+            fnum / float(n * (n - 1)) / 10000.0, 4)))
+        rows["covar_pop_qp"].append(float(_half_away_round(
+            fnum / float(n * n) / 10000.0, 4)))
+        rows["regr_slope_qp"].append(float(_half_away_round(
+            fnum / fdxx, 6)))
+        rows["regr_intercept_qp"].append(float(_half_away_round(
+            (float(sy) - fnum / fdxx * float(sx)) / float(n) / 100.0, 4)))
+        rows["r2_qp"].append(float(_half_away_round(
+            fnum * fnum / (fdxx * fdyy), 6)))
+    return pa.table({
+        "flag": pa.array(rows["flag"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "corr_qp": pa.array(rows["corr_qp"], pa.float64()),
+        "covar_samp_qp": pa.array(rows["covar_samp_qp"], pa.float64()),
+        "covar_pop_qp": pa.array(rows["covar_pop_qp"], pa.float64()),
+        "regr_slope_qp": pa.array(rows["regr_slope_qp"], pa.float64()),
+        "regr_intercept_qp": pa.array(rows["regr_intercept_qp"],
+                                      pa.float64()),
+        "r2_qp": pa.array(rows["r2_qp"], pa.float64()),
+    })
+
+
+CORR_STATS_SQL = """
+WITH r AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT flag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM r GROUP BY flag
+), d AS (
+  SELECT flag, n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dxx,
+         n * syy - sy * sy AS dyy
+  FROM s
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(num AS DOUBLE) /
+        (SQRT(CAST(dxx AS DOUBLE)) * SQRT(CAST(dyy AS DOUBLE))), 6)
+    AS corr_qp,
+  ROUND(CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 4)
+    AS covar_samp_qp,
+  ROUND(CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) / 10000.0, 4)
+    AS covar_pop_qp,
+  ROUND(CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE), 6) AS regr_slope_qp,
+  ROUND((CAST(sy AS DOUBLE)
+         - CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) / 100.0, 4) AS regr_intercept_qp,
+  ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) AS r2_qp
+FROM d ORDER BY flag
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 

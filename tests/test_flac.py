@@ -305,3 +305,54 @@ def test_flac_stereo_roundtrip_hypothesis(data, blocksize):
     dec, _ = decode_flac(encode_flac(pcm, 16000, blocksize=blocksize))
     assert dec.shape == pcm.shape
     assert np.array_equal(dec, pcm)
+
+
+def test_flac_stereo_feature_stage_closed_form():
+    """Stage-level twin of the flac_stereo_features oracle: lossless RMS
+    per channel + the pinned decorrelation assignment, no Ray session."""
+    import pyarrow as pa
+
+    from engine.data.audio_synth import SRS, synth_flac_stereo_batch
+    from engine.ops.multimodal import FlacStereoFeatureStage
+
+    ids = list(range(24))
+    batch = synth_flac_stereo_batch(pa.table({"id": pa.array(ids, pa.int64())}))
+    out = FlacStereoFeatureStage()(batch).to_pandas()
+    assert out.decode_ok.all()
+    expect_assign = {0: 8, 1: 10, 2: 9, 3: 1}
+    for _, row in out.iterrows():
+        i = int(row.aud_id)
+        c = i % 4
+        sr = SRS[i % 4]
+        n = sr * (100 + (i * 37) % 400) // 1000
+        assert row.n_samples == n
+        assert row.assignment == expect_assign[c]
+        a = 40 + (i % 50) * 7
+        bb = 500 + (i % 40) * 9
+        p = 2000 + (i % 30) * 50
+        q = 50 + (i % 20) * 3
+        hi = (n + 1) // 2
+        if c == 2:
+            ssl = hi * (bb + a) ** 2 + (n - hi) * (bb - a) ** 2
+            ssr = n * bb ** 2
+        elif c == 3:
+            ssl, ssr = n * p ** 2, n * q ** 2
+        else:
+            ssl = ssr = n * a ** 2
+        assert abs(row.rms_l - np.sqrt(ssl / n) / 32767.0) < 1e-12
+        assert abs(row.rms_r - np.sqrt(ssr / n) / 32767.0) < 1e-12
+
+
+def test_flac_stereo_feature_stage_rejects_mono_and_garbage():
+    import pyarrow as pa
+
+    from engine.ops.multimodal import FlacStereoFeatureStage
+
+    mono = encode_flac(np.arange(64, dtype=np.int16), 8000)
+    batch = pa.table({
+        "aud_id": pa.array([0, 1], pa.int64()),
+        "codec": pa.array(["flac", "flac"]),
+        "bytes": pa.array([mono, b"not flac"], pa.large_binary()),
+    })
+    out = FlacStereoFeatureStage()(batch).to_pandas()
+    assert not out.decode_ok.any()
