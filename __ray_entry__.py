@@ -1728,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
         "events_daily_by_type": q.events_daily_by_type,
         "csv_events_daily": q.csv_events_daily,
+        "csv_gz_events_daily": q.csv_gz_events_daily,
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_multi_top5": q.knn_multi_top5,
         "sessionize_events": q.sessionize_events,
@@ -1881,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "csv_events_daily": q.EVENTS_DAILY_SQL,
+        "csv_gz_events_daily": q.EVENTS_DAILY_SQL,
         "knn_cosine_top10": q.KNN_SQL,
         "knn_multi_top5": q.KNN_MULTI_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,

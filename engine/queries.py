@@ -1054,6 +1054,32 @@ def csv_events_daily(sf_dir: str):
     return _events_daily_agg(ray.data.read_csv(_events_csv_cache(sf_dir)))
 
 
+def csv_gz_events_daily(sf_dir: str):
+    """gzip-COMPRESSED CSV source: real 100-TB text corpora ship as .gz
+    shards, so the CSV reader must decompress STREAMING inside the read
+    tasks (arrow_open_stream_args, same recipe as the gz/zst JSONL
+    sources) — never driver-side.  Shares the daily-aggregate oracle with
+    the parquet and plain-CSV queries."""
+    import gzip
+    import os
+
+    import ray.data
+
+    plain = _events_csv_cache(sf_dir)
+    path = plain[:-4] + ".csv.gz"
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        try:
+            with open(plain, "rb") as fin, gzip.open(tmp, "wb", 6) as fout:
+                fout.write(fin.read())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    return _events_daily_agg(ray.data.read_csv(
+        path, arrow_open_stream_args={"compression": "gzip"}))
+
+
 def _events_daily_agg(ds):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
