@@ -1726,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_document": q.top_terms_per_document,
         "heavy_hitter_terms": q.heavy_hitter_terms_documents,
         "fingerprint_md5_documents": q.fingerprint_md5_documents,
+        "doc_regex_features": q.doc_regex_features,
         "events_daily_by_type": q.events_daily_by_type,
         "csv_events_daily": q.csv_events_daily,
         "csv_gz_events_daily": q.csv_gz_events_daily,
@@ -1880,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_document": q.TOP_TERMS_SQL,
         "heavy_hitter_terms": q.HEAVY_HITTERS_SQL,
         "fingerprint_md5_documents": q.FINGERPRINT_MD5_SQL,
+        "doc_regex_features": q.DOC_REGEX_SQL,
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "csv_events_daily": q.EVENTS_DAILY_SQL,
         "csv_gz_events_daily": q.EVENTS_DAILY_SQL,

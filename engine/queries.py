@@ -1009,6 +1009,41 @@ def fingerprint_md5_documents(sf_dir: str):
 FINGERPRINT_MD5_SQL = "SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id"
 
 
+def doc_regex_features(sf_dir: str):
+    """Vectorized regex scalar functions (SURVEY §2 D9): first-match
+    extraction, match counting and boolean match — all RE2 kernels
+    (pyarrow.compute) running zero-copy inside map_batches, the exact
+    engine twin of DuckDB's RE2-backed regexp_extract /
+    regexp_extract_all / regexp_matches.  Stateless scan, pruned read,
+    no shuffle; the only exchange is the final id sort."""
+    import pyarrow.compute as pc
+
+    def kernel(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        ex = pc.extract_regex(text, r"(?P<m>\b[a-z]*an[a-z]*\b)")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "first_an": pc.fill_null(pc.struct_field(ex, "m"), ""),
+            "n_sc": pc.cast(pc.count_substring_regex(text, r"sc[a-z]+"),
+                            pa.int64()),
+            "has_pair": pc.match_substring_regex(
+                text, r"(batch|stream)\s+(batch|stream)"),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")
+
+
+DOC_REGEX_SQL = r"""
+SELECT doc_id,
+  regexp_extract(text, '\b[a-z]*an[a-z]*\b') AS first_an,
+  CAST(len(regexp_extract_all(text, 'sc[a-z]+')) AS BIGINT) AS n_sc,
+  regexp_matches(text, '(batch|stream)\s+(batch|stream)') AS has_pair
+FROM documents ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------- events agg
 
 
