@@ -350,8 +350,28 @@ class _HuffLUT:
             hi = (code + 1) << (16 - length)
             sym[lo:hi] = s
             ln[lo:hi] = length
-        self.sym = sym
-        self.len = ln
+        # bytes indexing returns a plain int ~3x faster than a numpy
+        # scalar — this loop is the decoder's only per-symbol Python.
+        self.sym = sym.tobytes()
+        self.len = ln.tobytes()
+
+
+_LUT_CACHE: dict[bytes, _HuffLUT] = {}
+
+
+def _huff_lut(bits, values) -> _HuffLUT:
+    """Memoized LUT build: real corpora overwhelmingly reuse the Annex K
+    tables, so a decode actor builds each 64 KiB table once per process
+    instead of once per image (the LUT fill dominated per-small-image
+    decode cost before this)."""
+    key = bytes(bits) + bytes(values)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) >= 64:          # bound: adversarial table churn
+            _LUT_CACHE.clear()
+        lut = _HuffLUT(bits, values)
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 class _BitReader:
@@ -554,7 +574,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1:bpos + 17])
                 nv = sum(bits)
                 vals = list(body[bpos + 17:bpos + 17 + nv])
-                htabs[(tc, th)] = _HuffLUT(bits, vals)
+                htabs[(tc, th)] = _huff_lut(bits, vals)
                 bpos += 17 + nv
         elif tag in (0xC0, 0xC1):                     # SOF0/1 baseline
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
