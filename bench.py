@@ -116,6 +116,8 @@ QUERY_BENCH_NAMES = [
     "flac_audio_features", "adpcm_audio_features", "audio_spectrogram_report",
     "user_range_window_events", "drift_divergences_split",
     "doc_edit_distance_adjacent",
+    # round-4 continuation session 3: JPEG codec + moments combiner
+    "jpeg_image_metadata", "corr_stats_by_returnflag",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single
