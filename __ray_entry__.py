@@ -1761,6 +1761,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_tail_documents": q.long_tail_documents,
         "lang_quality_documents": q.lang_quality_documents,
         "quality_scores_documents": q.quality_scores_documents,
+        "repetition_stats_documents": q.repetition_stats_documents,
+        "decontaminate_documents": q.decontaminate_documents,
+        "vocab_coverage_documents": q.vocab_coverage_documents,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
         "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
@@ -1916,6 +1919,9 @@ def oracle_sql() -> dict[str, str]:
         "long_tail_documents": q.LONG_TAIL_SQL,
         "lang_quality_documents": q.LANG_QUALITY_SQL,
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
+        "repetition_stats_documents": q.REPETITION_STATS_SQL,
+        "decontaminate_documents": q.DECONTAMINATE_SQL,
+        "vocab_coverage_documents": q.VOCAB_COVERAGE_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
         "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,

@@ -206,6 +206,68 @@ class FingerprintStage:
             .append_column("roll_fp", pa.array(rolls.astype(np.int64)))
 
 
+class RepetitionStatsStage:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters — public knowledge).
+
+    Over ``TOKEN_RE`` tokens (the SQL-aligned tokenizer) emits, per row:
+
+      n_tokens / distinct_tokens / dup_token_frac   — token-level repetition
+      n_bigrams / top_bigram_count / top_bigram_frac — most-common-2-gram mass
+      n_5grams / dup_5gram_positions / dup_5gram_frac — duplicated-5-gram mass
+
+    Every fraction is a SINGLE IEEE division of two exact int64s (0.0 on an
+    empty denominator), so a DuckDB oracle computing the same counts
+    hash-matches bit-for-bit.  Stateless scan — no shuffle, scales linearly;
+    the per-row Counter is bounded by document length, not corpus size.
+
+    Reference analog: per-document heuristics fired from one linear pass
+    (/root/reference/src/json_repair/json_parser.py:96-145 collects
+    repeated top-level values the same count-then-classify way).
+    """
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        cols = {k: np.zeros(n, dtype=np.int64) for k in (
+            "n_tokens", "distinct_tokens", "n_bigrams", "top_bigram_count",
+            "n_5grams", "dup_5gram_positions")}
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t or "")
+            cols["n_tokens"][i] = len(toks)
+            cols["distinct_tokens"][i] = len(set(toks))
+            if len(toks) >= 2:
+                bg = Counter(zip(toks, toks[1:]))
+                cols["n_bigrams"][i] = len(toks) - 1
+                cols["top_bigram_count"][i] = max(bg.values())
+            if len(toks) >= 5:
+                fg = Counter(tuple(toks[j:j + 5])
+                             for j in range(len(toks) - 4))
+                cols["n_5grams"][i] = len(toks) - 4
+                cols["dup_5gram_positions"][i] = sum(
+                    c for c in fg.values() if c > 1)
+
+        def frac(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+            out = np.zeros(len(num), dtype=np.float64)
+            np.divide(num, den, out=out, where=den > 0)
+            return out
+
+        arrays = {"doc_id": batch.column("doc_id")}
+        arrays.update({k: pa.array(v) for k, v in cols.items()})
+        arrays["dup_token_frac"] = pa.array(frac(
+            cols["n_tokens"] - cols["distinct_tokens"], cols["n_tokens"]))
+        arrays["top_bigram_frac"] = pa.array(frac(
+            cols["top_bigram_count"], cols["n_bigrams"]))
+        arrays["dup_5gram_frac"] = pa.array(frac(
+            cols["dup_5gram_positions"], cols["n_5grams"]))
+        return pa.table(arrays)
+
+
 # ------------------------------------------------------------------ tf-idf
 
 
@@ -360,6 +422,86 @@ def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
     return with_df.map_batches(add_part, batch_format="pyarrow",
                                zero_copy_batch=True) \
         .groupby("part").map_groups(topk_partition, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- decontamination
+#
+# Benchmark decontamination — flag training documents that share token
+# n-grams with a held-out evaluation set (the standard GPT-3/Gopher-style
+# 13-gram/"shingle overlap" check, here parameterized by width).  The
+# benchmark side is SMALL BY DEFINITION (eval benchmarks are fixed files,
+# MBs not TBs), so its distinct-shingle set is collected once and broadcast
+# via ``ray.put``; the training side stays a stateless linear scan — the
+# same broadcast-small-side shape as the Bloom FK check (engine/stages.py).
+# At true scale the exact string set swaps for a Bloom filter of shingle
+# hashes behind the same stage seam (one-class change, like the codecs).
+
+DECONTAM_MAX_SHINGLES = 5_000_000  # broadcast gate: ~64 B/shingle ≈ 320 MB
+
+
+def collect_shingle_set(bench_ds, *, width: int = 3,
+                        text_col: str = "text") -> set[str]:
+    """Distinct space-joined token ``width``-shingles of a (small) dataset.
+
+    Per-batch dedup happens in the workers; the driver unions only the
+    already-distinct per-batch sets.  Refuses (loudly) above the broadcast
+    gate rather than silently materializing an unbounded set.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            out.update(" ".join(toks[j:j + width])
+                       for j in range(len(toks) - width + 1))
+        return pa.table({"g": pa.array(sorted(out), pa.large_string())})
+
+    shingles: set[str] = set()
+    for b in bench_ds.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).iter_batches(
+                                      batch_format="pyarrow"):
+        shingles.update(b.column("g").to_pylist())
+        if len(shingles) > DECONTAM_MAX_SHINGLES:
+            raise ValueError(
+                f"benchmark shingle set exceeds the broadcast gate "
+                f"({DECONTAM_MAX_SHINGLES}); use a Bloom-filter stage for "
+                f"benchmark sides this large")
+    return shingles
+
+
+class DecontaminationStage:
+    """Per-row shingle overlap against a broadcast benchmark shingle set.
+
+    Emits doc_id, doc_shingles (distinct per doc), matched_shingles
+    (distinct per doc ∩ benchmark), contaminated (int64 0/1) — all exact
+    integers, so a DuckDB join oracle hash-matches.
+    """
+
+    def __init__(self, bench_ref, *, width: int = 3,
+                 text_col: str = "text") -> None:
+        self.bench_ref = bench_ref
+        self.width = width
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.stages import _broadcast_from_ref
+
+        bench: set[str] = _broadcast_from_ref(self.bench_ref)
+        n = len(batch)
+        total = np.zeros(n, dtype=np.int64)
+        matched = np.zeros(n, dtype=np.int64)
+        w = self.width
+        for i, t in enumerate(batch.column(self.text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            sh = {" ".join(toks[j:j + w])
+                  for j in range(len(toks) - w + 1)}
+            total[i] = len(sh)
+            matched[i] = sum(1 for g in sh if g in bench)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "doc_shingles": pa.array(total),
+            "matched_shingles": pa.array(matched),
+            "contaminated": pa.array((matched > 0).astype(np.int64)),
+        })
 
 
 def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,

@@ -2667,6 +2667,180 @@ FROM r ORDER BY doc_id
 QUALITY_SCORES_SQL = _quality_scores_sql()
 
 
+def repetition_stats_documents(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-token fraction, top-bigram
+    mass, duplicated-5-gram mass) — see engine.ops.text.RepetitionStatsStage.
+    Stateless scan, integer counts + single IEEE divisions, fully oracled."""
+    from engine.ops.text import RepetitionStatsStage
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(RepetitionStatsStage(), batch_format="pyarrow",
+                     zero_copy_batch=True).sort("doc_id")
+
+
+# Counts mirror RepetitionStatsStage: tokens via the shared RE2/ASCII class;
+# bigram/5-gram lists via DuckDB list comprehensions (generate_series(1, n)
+# is [] for n < 1, so short docs fall out with zero counts on both sides).
+REPETITION_STATS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS n_distinct,
+    [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]
+      AS bgs,
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       || ' ' || toks[i+4] FOR i IN generate_series(1, len(toks)-4)] AS fgs
+  FROM d
+), bgc AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS g FROM base) GROUP BY doc_id, g)
+  GROUP BY doc_id
+), fgd AS (
+  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(fgs) AS g FROM base) GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS distinct_tokens,
+  CAST(GREATEST(n - 1, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(topc, 0) AS BIGINT) AS top_bigram_count,
+  CAST(GREATEST(n - 4, 0) AS BIGINT) AS n_5grams,
+  CAST(COALESCE(dup_pos, 0) AS BIGINT) AS dup_5gram_positions,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE CAST(n - n_distinct AS DOUBLE) / n END AS dup_token_frac,
+  CASE WHEN n < 2 THEN 0.0
+       ELSE CAST(COALESCE(topc, 0) AS DOUBLE) / (n - 1) END AS top_bigram_frac,
+  CASE WHEN n < 5 THEN 0.0
+       ELSE CAST(COALESCE(dup_pos, 0) AS DOUBLE) / (n - 4) END AS dup_5gram_frac
+FROM base
+LEFT JOIN bgc USING (doc_id) LEFT JOIN fgd USING (doc_id)
+ORDER BY doc_id
+"""
+
+# The decontamination "benchmark" split: a deterministic slice of documents
+# stands in for a fixed eval set (no external data in the sandbox).
+DECONTAM_BENCH_MOD = 37
+DECONTAM_WIDTH = 3
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any token
+    3-shingle with the held-out slice (doc_id % 37 == 0).  Benchmark
+    shingles collected once (worker-side dedup) and broadcast; the training
+    side is a stateless scan — engine/ops/text.py:collect_shingle_set /
+    DecontaminationStage document the broadcast gate and Bloom scale path."""
+    import ray
+
+    from engine.ops.text import DecontaminationStage, collect_shingle_set
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % DECONTAM_BENCH_MOD) == 0
+        return t.filter(pa.array(mask if keep_bench else ~mask))
+
+    bench = docs.map_batches(
+        lambda t: split(t, True),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bench_ref = ray.put(collect_shingle_set(bench, width=DECONTAM_WIDTH))
+    return docs.map_batches(
+        lambda t: split(t, False),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(DecontaminationStage(bench_ref, width=DECONTAM_WIDTH),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")
+
+
+DECONTAMINATE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           FOR i IN generate_series(1, len(toks)-2)]) AS g
+    FROM d)
+), bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+counts AS (
+  SELECT e.doc_id, COUNT(*) AS total, COUNT(b.g) AS matched
+  FROM (SELECT * FROM sh WHERE doc_id % 37 <> 0) e
+  LEFT JOIN bench b ON e.g = b.g
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(c.total, 0) AS BIGINT) AS doc_shingles,
+  CAST(COALESCE(c.matched, 0) AS BIGINT) AS matched_shingles,
+  CAST(COALESCE(c.matched, 0) > 0 AS BIGINT) AS contaminated
+FROM d LEFT JOIN counts c USING (doc_id)
+WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id
+"""
+
+VOCAB_COVERAGE_K = 12
+
+
+def vocab_coverage_documents(sf_dir: str):
+    """Out-of-vocabulary rate against a frozen top-k corpus vocabulary —
+    the vocabulary-coverage language/quality filter.  The vocab comes from
+    the exact two-pass Misra-Gries heavy-hitter scan (no full-vocabulary
+    shuffle; in production it is a frozen artifact computed once), is
+    broadcast, and scoring is a stateless scan.  oov_rate is one IEEE
+    division of exact int64s."""
+    import ray
+
+    from engine.ops.text import TOKEN_RE, heavy_hitter_terms
+    from engine.stages import _broadcast_from_ref
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = set(heavy_hitter_terms(docs, k=VOCAB_COVERAGE_K)
+                .column("term").to_pylist())
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = _broadcast_from_ref(vocab_ref)
+        texts = batch.column("text").to_pylist()
+        n = np.zeros(len(texts), dtype=np.int64)
+        oov = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t or "")
+            n[i] = len(toks)
+            oov[i] = sum(1 for w in toks if w not in v)
+        rate = np.zeros(len(texts), dtype=np.float64)
+        np.divide(oov, n, out=rate, where=n > 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n), "oov_tokens": pa.array(oov),
+            "oov_rate": pa.array(rate),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS term
+  FROM documents
+), v AS (
+  SELECT term FROM (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+  ORDER BY cnt DESC, term LIMIT 12
+), per AS (
+  SELECT doc_id, COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE term NOT IN (SELECT term FROM v)) AS oov
+  FROM t GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(per.oov, 0) AS BIGINT) AS oov_tokens,
+  CASE WHEN COALESCE(per.n, 0) = 0 THEN 0.0
+       ELSE CAST(per.oov AS DOUBLE) / per.n END AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------------- big-big join
 
 

@@ -898,3 +898,86 @@ def test_spectrogram_stage_math(ray_session):
     assert (fb >= 0).all()
     covered = (fb.sum(axis=0) > 0)
     assert covered[3:120].all()
+
+
+# ------------------------------------------------- repetition / decontam
+
+
+def test_repetition_stats_brute_force():
+    """RepetitionStatsStage vs a per-row brute-force reference, on inputs
+    that exercise every branch (repeated 5-grams, all-same doc, empty,
+    single token, <5 tokens) — the driver corpus never repeats a 5-gram,
+    so the dup-5gram path needs crafted coverage."""
+    from collections import Counter
+
+    from engine.ops.text import TOKEN_RE, RepetitionStatsStage
+
+    texts = [
+        "a b c d e a b c d e a b c d e",          # whole doc repeats
+        "x x x x x x",                            # one token repeated
+        "alpha beta gamma delta",                 # < 5 tokens, no dups
+        "",                                       # empty
+        "solo",                                   # single token
+        "p q r s t u v w x y z",                  # all distinct
+        "a b a b a b a b a b",                    # dense bigram repetition
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = RepetitionStatsStage()(batch)
+    for i, t in enumerate(texts):
+        toks = TOKEN_RE.findall(t)
+        n = len(toks)
+        assert out.column("n_tokens")[i].as_py() == n
+        assert out.column("distinct_tokens")[i].as_py() == len(set(toks))
+        bg = Counter(zip(toks, toks[1:]))
+        topc = max(bg.values()) if bg else 0
+        assert out.column("top_bigram_count")[i].as_py() == topc
+        fg = Counter(tuple(toks[j:j + 5]) for j in range(n - 4))
+        dup = sum(c for c in fg.values() if c > 1)
+        assert out.column("dup_5gram_positions")[i].as_py() == dup
+        assert out.column("dup_token_frac")[i].as_py() == (
+            (n - len(set(toks))) / n if n else 0.0)
+        assert out.column("top_bigram_frac")[i].as_py() == (
+            topc / (n - 1) if n >= 2 else 0.0)
+        assert out.column("dup_5gram_frac")[i].as_py() == (
+            dup / (n - 4) if n >= 5 else 0.0)
+    # the crafted corpus actually hits the dup-5gram branch
+    assert out.column("dup_5gram_positions").to_pylist()[0] > 0
+
+
+def test_decontamination_stage_counts(ray_session):
+    import ray
+    import ray.data
+
+    from engine.ops.text import DecontaminationStage, collect_shingle_set
+
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps"], pa.string())}))
+    sh = collect_shingle_set(bench, width=3)
+    assert sh == {"the quick brown", "quick brown fox", "brown fox jumps"}
+
+    eval_batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "we saw the quick brown fox today",   # 2 matched shingles
+            "completely clean text here",          # clean
+            "ab",                                  # < width tokens
+        ], pa.string())})
+    out = DecontaminationStage(ray.put(sh), width=3)(eval_batch)
+    assert out.column("matched_shingles").to_pylist() == [2, 0, 0]
+    assert out.column("contaminated").to_pylist() == [1, 0, 0]
+    assert out.column("doc_shingles").to_pylist() == [5, 2, 0]
+
+
+def test_decontamination_broadcast_gate(ray_session, monkeypatch):
+    import ray.data
+
+    from engine.ops import text as text_mod
+
+    monkeypatch.setattr(text_mod, "DECONTAM_MAX_SHINGLES", 2)
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b c d e f g"], pa.string())}))
+    with pytest.raises(ValueError, match="broadcast gate"):
+        text_mod.collect_shingle_set(bench, width=3)

@@ -25,6 +25,9 @@ FAST_ORACLED = [
     "lang_quality_documents",
     "drift_divergences_split",
     "user_range_window_events",
+    "repetition_stats_documents",
+    "decontaminate_documents",
+    "vocab_coverage_documents",
 ]
 
 
