@@ -1764,6 +1764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": q.repetition_stats_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "vocab_coverage_documents": q.vocab_coverage_documents,
+        "per_group_sample_documents": q.per_group_sample_documents,
+        "user_order_activity": q.user_order_activity,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
         "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
@@ -1922,6 +1924,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_documents": q.REPETITION_STATS_SQL,
         "decontaminate_documents": q.DECONTAMINATE_SQL,
         "vocab_coverage_documents": q.VOCAB_COVERAGE_SQL,
+        "per_group_sample_documents": q.PER_GROUP_SAMPLE_SQL,
+        "user_order_activity": q.USER_ORDER_ACTIVITY_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
         "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,

@@ -2841,6 +2841,133 @@ FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
 """
 
 
+def per_group_sample_documents(sf_dir: str, k: int = 3):
+    """Deterministic per-group top-k sample (the reproducible reservoir):
+    for each lang keep the k docs with smallest (md5(text), doc_id).
+
+    Per-group top-k by a hash rank is ASSOCIATIVE, so each batch ships one
+    bounded {lang: [k smallest pairs]} partial and keyed_tree_reduce merges
+    them O(log batches) deep — no shuffle, no per-group skew sensitivity
+    (a hot group still contributes k pairs per batch, not its row count).
+    Hash-ordering makes the sample stable across retries/partitionings,
+    which ds.random_sample is not."""
+    import hashlib
+    import json as _json
+
+    from engine.stages import keyed_tree_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st: dict[str, list] = {}
+        langs = batch.column("lang").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for lang, doc_id, t in zip(langs, ids, texts):
+            key = (hashlib.md5((t or "").encode("utf-8", "ignore"))
+                   .hexdigest(), doc_id)
+            cur = st.setdefault(lang, [])
+            cur.append(key)
+            if len(cur) > k:
+                cur.sort()
+                del cur[k:]
+        for cur in st.values():
+            cur.sort()
+        return pa.table({"state": pa.array([_json.dumps(st)],
+                                           pa.large_string())})
+
+    def merge(a: list, b: list) -> list:
+        return sorted([tuple(x) for x in a] + [tuple(x) for x in b])[:k]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), merge)
+    rows = [(lang, int(doc_id), md5, rank + 1)
+            for lang, pairs in sorted(merged.items())
+            for rank, (md5, doc_id) in enumerate(pairs)]
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "md5": pa.array([r[2] for r in rows], pa.string()),
+        "sample_rank": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+PER_GROUP_SAMPLE_SQL = r"""
+WITH ranked AS (
+  SELECT lang, doc_id, md5(text) AS md5,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, md5, CAST(rn AS BIGINT) AS sample_rank
+FROM ranked WHERE rn <= 3 ORDER BY lang, sample_rank
+"""
+
+
+def user_order_activity(sf_dir: str):
+    """FULL OUTER join of per-user event totals with per-customer order
+    totals — surfaces keys active on exactly one side (the reconciliation
+    report shape).  Both inputs are pre-aggregated inside map_batches
+    (combiner pattern) before the hash groupby, so the Dataset.join
+    full_outer exchange moves one row per key, not per event/order."""
+    import ray.data
+
+    from engine.stages import shuffle_partitions
+
+    def count_partial(key_col: str, out_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy()
+            vals, cnts = np.unique(keys, return_counts=True)
+            return pa.table({"key": pa.array(vals, pa.int64()),
+                             out_col: pa.array(cnts, pa.int64())})
+        return fn
+
+    def grouped(ds, col):
+        return ds.groupby("key").aggregate(
+            ray.data.aggregate.Sum(col, alias_name=col))
+
+    ev = grouped(_read(sf_dir, "events", columns=["user_id"]).map_batches(
+        count_partial("user_id", "n_events"), batch_format="pyarrow",
+        zero_copy_batch=True), "n_events")
+    od = grouped(_read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        count_partial("o_custkey", "n_orders"), batch_format="pyarrow",
+        zero_copy_batch=True), "n_orders")
+    nparts = shuffle_partitions(ev.count() + od.count())
+    joined = ev.join(od, "full_outer", nparts, on=("key",),
+                     left_suffix="_l", right_suffix="_r")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        def col(name):
+            a = batch.column(name)
+            return a.fill_null(0) if a.null_count else a
+        n_ev = col("n_events").to_numpy().astype(np.int64)
+        n_od = col("n_orders").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": batch.column("key"),
+            "n_events": pa.array(n_ev),
+            "n_orders": pa.array(n_od),
+            "in_events": pa.array((n_ev > 0).astype(np.int64)),
+            "in_orders": pa.array((n_od > 0).astype(np.int64)),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("key")
+
+
+USER_ORDER_ACTIVITY_SQL = r"""
+WITH e AS (SELECT user_id AS key, COUNT(*) AS n_events
+           FROM events GROUP BY user_id),
+o AS (SELECT o_custkey AS key, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey)
+SELECT COALESCE(e.key, o.key) AS key,
+  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+  CAST(e.key IS NOT NULL AS BIGINT) AS in_events,
+  CAST(o.key IS NOT NULL AS BIGINT) AS in_orders
+FROM e FULL OUTER JOIN o ON e.key = o.key ORDER BY key
+"""
+
+
 # ------------------------------------------------------------- big-big join
 
 

@@ -28,6 +28,8 @@ FAST_ORACLED = [
     "repetition_stats_documents",
     "decontaminate_documents",
     "vocab_coverage_documents",
+    "per_group_sample_documents",
+    "user_order_activity",
 ]
 
 
