@@ -1173,7 +1173,7 @@ def _image_resize(sf_dir: str):
     ds = ray.data.range(IMAGE_DIMS_N).map_batches(
         synth_image_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(ImageResizeStage, batch_format="pyarrow",
-                         batch_size=512, concurrency=(1, 4))
+                         batch_size=512, concurrency=_codec_pool())
     return out.sort("img_id")
 
 
@@ -1221,7 +1221,7 @@ def _image_metadata(sf_dir: str):
     ds = ray.data.range(IMAGE_DIMS_N).map_batches(
         synth_image_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                         batch_size=512, concurrency=(1, 4))
+                         batch_size=512, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         ok = t.column("decode_ok").to_numpy(zero_copy_only=False)
@@ -1322,7 +1322,7 @@ def _gif_image_metadata(sf_dir: str):
     ds = ray.data.range(GIF_METADATA_N).map_batches(
         synth_gif_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 4))
+                         batch_size=256, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1359,7 +1359,7 @@ def _png_image_metadata(sf_dir: str):
     ds = ray.data.range(PNG_METADATA_N).map_batches(
         synth_png_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 4))
+                         batch_size=256, concurrency=_codec_pool())
 
     def finalize(t: pa.Table) -> pa.Table:
         lum = _half_away_round(
@@ -1413,7 +1413,7 @@ def _jpeg_image_metadata(sf_dir: str):
     ds = ray.data.range(JPEG_METADATA_N).map_batches(
         synth_jpeg_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(JpegCheckStage, batch_format="pyarrow",
-                         batch_size=256, concurrency=(1, 4))
+                         batch_size=128, concurrency=_codec_pool())
     return out.sort("img_id")
 
 
@@ -1478,7 +1478,7 @@ def _image_dims(sf_dir: str):
     ds = ray.data.range(IMAGE_DIMS_N).map_batches(
         synth_image_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                         batch_size=512, concurrency=(1, 4))
+                         batch_size=512, concurrency=_codec_pool())
     return out.map_batches(
         lambda t: t.select(["img_id", "img_format", "width", "height",
                             "mode", "decode_ok"]),
@@ -1539,7 +1539,7 @@ def _video_frame_sample(sf_dir: str):
     ds = ray.data.range(VIDEO_DIMS_N).map_batches(
         synth_video_batch, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.map_batches(FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
-                         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+                         batch_format="pyarrow", batch_size=256, concurrency=_codec_pool())
     return out.map_batches(
         lambda t: pa.table({
             "vid_id": t.column("vid_id"),
