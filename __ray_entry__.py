@@ -1766,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_documents": q.vocab_coverage_documents,
         "per_group_sample_documents": q.per_group_sample_documents,
         "user_order_activity": q.user_order_activity,
+        "profile_events": q.profile_events,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
         "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
@@ -1926,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_documents": q.VOCAB_COVERAGE_SQL,
         "per_group_sample_documents": q.PER_GROUP_SAMPLE_SQL,
         "user_order_activity": q.USER_ORDER_ACTIVITY_SQL,
+        "profile_events": q.PROFILE_EVENTS_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
         "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,

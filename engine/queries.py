@@ -2968,6 +2968,40 @@ FROM e FULL OUTER JOIN o ON e.key = o.key ORDER BY key
 """
 
 
+def profile_events(sf_dir: str):
+    """Whole-table column profile of events (count / nulls / exact distinct
+    / min-max per column) — see engine/checks/profile.py for the two-pass
+    scale shape (tree-reduced partials + one batch-deduped distinct
+    exchange; HLL swap-in at 100 TB)."""
+    from engine.checks.profile import profile_table
+
+    return profile_table(
+        _read(sf_dir, "events"),
+        ["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
+def _profile_events_sql() -> str:
+    def block(col: str, minmax: str) -> str:
+        return f"""
+SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  {minmax.format(agg='MIN', col=col)} AS min_repr,
+  {minmax.format(agg='MAX', col=col)} AS max_repr
+FROM events"""
+
+    as_str = "CAST({agg}({col}) AS VARCHAR)"
+    as_f6 = "printf('%.6f', {agg}({col}))"
+    as_epoch = "CAST(epoch_us({agg}({col})) AS VARCHAR)"
+    parts = [block("event_id", as_str), block("ts", as_epoch),
+             block("user_id", as_str), block("event_type", as_str),
+             block("value", as_f6), block("props", as_str)]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+PROFILE_EVENTS_SQL = _profile_events_sql()
+
+
 # ------------------------------------------------------------- big-big join
 
 

@@ -981,3 +981,31 @@ def test_decontamination_broadcast_gate(ray_session, monkeypatch):
         "text": pa.array(["a b c d e f g"], pa.string())}))
     with pytest.raises(ValueError, match="broadcast gate"):
         text_mod.collect_shingle_set(bench, width=3)
+
+
+def test_profile_table_nulls_and_types(ray_session, tmp_path):
+    """profile_table on a crafted table with NULLs, an all-null column slice,
+    and every supported kind — the driver corpus is null-free, so this is
+    the only coverage of the null branches."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.checks.profile import profile_table
+
+    t = pa.table({
+        "i": pa.array([3, None, 1, 3, None], pa.int64()),
+        "f": pa.array([1.5, 2.25, None, 1.5, -0.5], pa.float64()),
+        "s": pa.array(["b", "a", None, "b", "c"], pa.string()),
+        "ts": pa.array([10, 20, 30, None, 20], pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "t.parquet")
+    out = profile_table(ray.data.read_parquet(str(tmp_path / "t.parquet")),
+                        ["i", "f", "s", "ts"]).to_pandas().set_index("col_name")
+    assert out.loc["i"].tolist() == [5, 2, 2, "1", "3"]
+    assert out.loc["f"].tolist() == [5, 1, 3, "-0.500000", "2.250000"]
+    assert out.loc["s"].tolist() == [5, 1, 3, "a", "c"]
+    assert out.loc["ts"].tolist() == [5, 1, 3, "10", "30"]
+
+    with pytest.raises(KeyError, match="not in dataset"):
+        profile_table(ray.data.read_parquet(str(tmp_path / "t.parquet")),
+                      ["i", "nope"])

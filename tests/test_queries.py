@@ -30,6 +30,7 @@ FAST_ORACLED = [
     "vocab_coverage_documents",
     "per_group_sample_documents",
     "user_order_activity",
+    "profile_events",
 ]
 
 
