@@ -1767,6 +1767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_group_sample_documents": q.per_group_sample_documents,
         "user_order_activity": q.user_order_activity,
         "profile_events": q.profile_events,
+        "lineitem_constraint_violations": q.lineitem_constraint_violations,
+        "lineitem_constraint_summary": q.lineitem_constraint_summary,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
         "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
@@ -1928,6 +1930,8 @@ def oracle_sql() -> dict[str, str]:
         "per_group_sample_documents": q.PER_GROUP_SAMPLE_SQL,
         "user_order_activity": q.USER_ORDER_ACTIVITY_SQL,
         "profile_events": q.PROFILE_EVENTS_SQL,
+        "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
+        "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
         "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,

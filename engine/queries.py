@@ -3002,6 +3002,87 @@ FROM events"""
 PROFILE_EVENTS_SQL = _profile_events_sql()
 
 
+# Demonstration rule set over lineitem — thresholds chosen so every rule
+# kind fires on real rows (price_positive deliberately never fires: the
+# zero-violation path must round-trip too).
+LINEITEM_RULES = [
+    {"name": "qty_le_30", "kind": "le", "col": "l_quantity", "value": 30},
+    {"name": "disc_le_tax", "kind": "le_col", "col": "l_discount",
+     "other": "l_tax"},
+    {"name": "price_positive", "kind": "gt", "col": "l_extendedprice",
+     "value": 0},
+    {"name": "flag_known", "kind": "in_set", "col": "l_returnflag",
+     "values": ["A", "N"]},
+    {"name": "tax_range", "kind": "between", "col": "l_tax",
+     "lo": 0, "hi": 0.05},
+]
+
+_LINEITEM_RULE_COLS = ["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_discount", "l_tax", "l_extendedprice",
+                       "l_returnflag"]
+
+
+def lineitem_constraint_violations(sf_dir: str):
+    """Declarative constraint suite over lineitem -> violation rows
+    (engine/checks/constraints.py): one vectorized kernel per rule per
+    batch, stateless scan, zero shuffle."""
+    from engine.checks.constraints import ConstraintSuite
+
+    suite = ConstraintSuite(LINEITEM_RULES,
+                            key_cols=["l_orderkey", "l_linenumber"])
+    return _read(sf_dir, "lineitem", columns=_LINEITEM_RULE_COLS) \
+        .map_batches(suite.violations_stage(), batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort(["l_orderkey", "l_linenumber", "rule"])
+
+
+LINEITEM_VIOLATIONS_SQL = r"""
+WITH v AS (
+  SELECT l_orderkey, l_linenumber, 'qty_le_30' AS rule
+  FROM lineitem WHERE NOT (l_quantity <= 30)
+  UNION ALL SELECT l_orderkey, l_linenumber, 'disc_le_tax'
+  FROM lineitem WHERE NOT (l_discount <= l_tax)
+  UNION ALL SELECT l_orderkey, l_linenumber, 'price_positive'
+  FROM lineitem WHERE NOT (l_extendedprice > 0)
+  UNION ALL SELECT l_orderkey, l_linenumber, 'flag_known'
+  FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+  UNION ALL SELECT l_orderkey, l_linenumber, 'tax_range'
+  FROM lineitem WHERE NOT (l_tax BETWEEN 0 AND 0.05)
+)
+SELECT l_orderkey, l_linenumber, rule FROM v
+ORDER BY l_orderkey, l_linenumber, rule
+"""
+
+
+def lineitem_constraint_summary(sf_dir: str):
+    """Per-rule (n_checked, n_violations) from the same suite — associative
+    per-batch partials through keyed_tree_reduce (no groupby for a 5-key
+    report)."""
+    from engine.checks.constraints import ConstraintSuite
+
+    suite = ConstraintSuite(LINEITEM_RULES,
+                            key_cols=["l_orderkey", "l_linenumber"])
+    return suite.summary_table(
+        _read(sf_dir, "lineitem", columns=_LINEITEM_RULE_COLS))
+
+
+LINEITEM_SUMMARY_SQL = r"""
+SELECT rule, CAST(n AS BIGINT) AS n_checked,
+       CAST(viol AS BIGINT) AS n_violations FROM (
+  SELECT 'qty_le_30' AS rule, COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE NOT (l_quantity <= 30)) AS viol FROM lineitem
+  UNION ALL SELECT 'disc_le_tax', COUNT(*),
+         COUNT(*) FILTER (WHERE NOT (l_discount <= l_tax)) FROM lineitem
+  UNION ALL SELECT 'price_positive', COUNT(*),
+         COUNT(*) FILTER (WHERE NOT (l_extendedprice > 0)) FROM lineitem
+  UNION ALL SELECT 'flag_known', COUNT(*),
+         COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N')) FROM lineitem
+  UNION ALL SELECT 'tax_range', COUNT(*),
+         COUNT(*) FILTER (WHERE NOT (l_tax BETWEEN 0 AND 0.05)) FROM lineitem
+) ORDER BY rule
+"""
+
+
 # ------------------------------------------------------------- big-big join
 
 

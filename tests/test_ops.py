@@ -1009,3 +1009,39 @@ def test_profile_table_nulls_and_types(ray_session, tmp_path):
     with pytest.raises(KeyError, match="not in dataset"):
         profile_table(ray.data.read_parquet(str(tmp_path / "t.parquet")),
                       ["i", "nope"])
+
+
+def test_constraint_suite_null_semantics_and_errors():
+    from engine.checks.constraints import ConstraintSuite
+
+    batch = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "x": pa.array([5.0, None, 50.0, 10.0], pa.float64()),
+        "y": pa.array([6.0, 1.0, 1.0, None], pa.float64()),
+        "f": pa.array(["A", "Z", None, "N"], pa.string()),
+    })
+    suite = ConstraintSuite([
+        {"name": "x_le_30", "kind": "le", "col": "x", "value": 30},
+        {"name": "x_le_y", "kind": "le_col", "col": "x", "other": "y"},
+        {"name": "f_known", "kind": "in_set", "col": "f", "values": ["A", "N"]},
+        {"name": "x_not_null", "kind": "not_null", "col": "x"},
+    ], key_cols=["id"])
+    v = suite.violations_batch(batch)
+    got = sorted(zip(v.column("id").to_pylist(), v.column("rule").to_pylist()))
+    # NULL comparisons are not violations (SQL WHERE semantics) — including
+    # in_set, where pyarrow's is_in alone would flag NULL; not_null catches
+    # NULLs explicitly.
+    assert got == [(2, "f_known"), (2, "x_not_null"),
+                   (3, "x_le_30"), (3, "x_le_y")]
+    s = suite.summary_partial(batch)
+    assert s["x_le_30"] == [4, 1] and s["x_le_y"] == [4, 1]
+    assert s["x_not_null"] == [4, 1] and s["f_known"] == [4, 1]
+
+    with pytest.raises(ValueError, match="duplicate rule"):
+        ConstraintSuite([{"name": "a", "kind": "le", "col": "x", "value": 1},
+                         {"name": "a", "kind": "ge", "col": "x", "value": 1}],
+                        key_cols=["id"])
+    bad = ConstraintSuite([{"name": "b", "kind": "weird", "col": "x"}],
+                          key_cols=["id"])
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        bad.violations_batch(batch)

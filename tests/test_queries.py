@@ -31,6 +31,8 @@ FAST_ORACLED = [
     "per_group_sample_documents",
     "user_order_activity",
     "profile_events",
+    "lineitem_constraint_violations",
+    "lineitem_constraint_summary",
 ]
 
 
