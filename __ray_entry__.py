@@ -1769,6 +1769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": q.profile_events,
         "lineitem_constraint_violations": q.lineitem_constraint_violations,
         "lineitem_constraint_summary": q.lineitem_constraint_summary,
+        "term_frequency_spectrum": q.term_frequency_spectrum,
+        "token_diversity_documents": q.token_diversity_documents,
         "quantiles_by_returnflag": q.quantiles_by_returnflag,
         "mad_quantity_by_returnflag": q.mad_quantity_by_returnflag,
         "lineitem_quantity_ranks": q.lineitem_quantity_ranks,
@@ -1932,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": q.PROFILE_EVENTS_SQL,
         "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
         "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
+        "term_frequency_spectrum": q.TERM_SPECTRUM_SQL,
+        "token_diversity_documents": q.TOKEN_DIVERSITY_SQL,
         "quantiles_by_returnflag": q.QUANTILES_RETURNFLAG_SQL,
         "mad_quantity_by_returnflag": q.MAD_QUANTITY_SQL,
         "lineitem_quantity_ranks": q.LINEITEM_QUANTITY_RANKS_SQL,

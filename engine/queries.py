@@ -3002,6 +3002,104 @@ FROM events"""
 PROFILE_EVENTS_SQL = _profile_events_sql()
 
 
+def term_frequency_spectrum(sf_dir: str):
+    """Corpus frequency spectrum (Zipf profile): how many distinct terms
+    occur exactly k times.  Double aggregation — wordcount partials →
+    per-term total (the one unavoidable term exchange, already batch-
+    combined) → count-of-counts re-partialed through keyed_tree_reduce
+    (the k-axis is low-cardinality; no sparse groupby)."""
+    import json as _json
+
+    from engine.ops.text import term_doc_counts
+    from engine.stages import keyed_tree_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    per_term = ds.map_batches(
+        lambda b: term_doc_counts(b).drop_columns(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("term").sum("tf")
+
+    def spectrum_partial(batch: pa.Table) -> pa.Table:
+        ks, cnts = np.unique(
+            batch.column("sum(tf)").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"state": pa.array(
+            [_json.dumps({str(int(k)): int(c) for k, c in zip(ks, cnts)})],
+            pa.large_string())})
+
+    merged = keyed_tree_reduce(
+        per_term.map_batches(spectrum_partial, batch_format="pyarrow"),
+        lambda a, b: a + b)
+    ks = sorted(int(k) for k in merged)
+    return pa.table({
+        "occurrences": pa.array(ks, pa.int64()),
+        "n_terms": pa.array([int(merged[str(k)]) for k in ks], pa.int64()),
+    })
+
+
+TERM_SPECTRUM_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS term
+  FROM documents
+), c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+SELECT CAST(cnt AS BIGINT) AS occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM c GROUP BY cnt ORDER BY occurrences
+"""
+
+
+def token_diversity_documents(sf_dir: str):
+    """Per-document lexical diversity via the Simpson repeat index:
+    sum(tf*(tf-1)) / (n*(n-1)) — the probability two random token draws
+    are the same type.  Exact integer numerator/denominator + one IEEE
+    division, stateless scan."""
+    from engine.ops.text import TOKEN_RE
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.zeros(len(texts), dtype=np.int64)
+        rep = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t or "")
+            n[i] = len(toks)
+            if toks:
+                _, cnts = np.unique(np.asarray(toks, dtype=object),
+                                    return_counts=True)
+                rep[i] = int((cnts * (cnts - 1)).sum())
+        den = n * (n - 1)
+        idx = np.zeros(len(texts), dtype=np.float64)
+        np.divide(rep, den, out=idx, where=den > 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n),
+            "repeat_pairs": pa.array(rep),
+            "simpson_index": pa.array(idx),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(kernel, batch_format="pyarrow",
+                     zero_copy_batch=True).sort("doc_id")
+
+
+TOKEN_DIVERSITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^\t\n\f\r ]+')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+per AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c * (c - 1)) AS rep
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(per.rep, 0) AS BIGINT) AS repeat_pairs,
+  CASE WHEN COALESCE(per.n, 0) < 2 THEN 0.0
+       ELSE CAST(per.rep AS DOUBLE) / (per.n * (per.n - 1)) END
+    AS simpson_index
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 # Demonstration rule set over lineitem — thresholds chosen so every rule
 # kind fires on real rows (price_positive deliberately never fires: the
 # zero-violation path must round-trip too).

@@ -33,6 +33,8 @@ FAST_ORACLED = [
     "profile_events",
     "lineitem_constraint_violations",
     "lineitem_constraint_summary",
+    "term_frequency_spectrum",
+    "token_diversity_documents",
 ]
 
 
