@@ -1840,24 +1840,29 @@ _ORACLE_PRIORITY = [
     "rolling_fingerprint",
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
-    "user_running_value", "orders_row_number", "lineitem_quantity_ranks",
+    "user_running_value", "orders_row_number",
     "user_range_window_events",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
-    "purchase_attribution_forward", "clicks_near_purchase",
+    "clicks_near_purchase",
     "revenue_by_segment_day",
-    "corr_stats_by_returnflag", "g711_audio_features",
-    "adpcm_audio_features",
+    "corr_stats_by_returnflag", "adpcm_audio_features",
     "stratified_sample_documents", "doc_edit_distance_adjacent",
     "lang_quality_documents", "quantiles_by_returnflag",
-    "drift_events_split", "drift_divergences_split",
+    "drift_divergences_split",
     "audio_features", "audio_chunks",
-    "jaccard_all_pairs", "duplicate_clusters", "dedup_near_documents",
+    "jaccard_all_pairs", "duplicate_clusters",
     "embedding_near_dup_exact",
     "png_image_metadata", "jpeg_image_metadata",
     "flac_audio_features", "flac_stereo_features", "audio_spectrogram_report",
     "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
+    # round-4 session-4 new-family representatives (rotated in for the
+    # 5 redundant siblings above; those stay green in FAST_ORACLED +
+    # tools/check_oracles.py):
+    "repetition_stats_documents", "decontaminate_documents",
+    "profile_events", "lineitem_constraint_violations",
+    "user_order_activity",
 ]
 
 
