@@ -193,6 +193,67 @@ SELECT clip_id, "check" FROM v ORDER BY clip_id, "check"
 """
 
 
+def _clips_speech_rate(sf_dir: str):
+    """Cross-modal consistency check (axes A+B: audio x transcript): for
+    every clip whose transcript is strictly-valid JSON with a string
+    ``text`` field, the transcript word count must be consistent with the
+    AUDIO duration — the generator's closed form is max(1, dur_ms // 300)
+    words (engine/data/clips.py:_make_transcript), and the words-per-second
+    band [2, 4] splits on real durations (short/long clips fall outside).
+
+    Strict-parse only (json.loads fast path), so the included row set is
+    generator-decidable: every defect except bad_json (strict-invalid by
+    construction, all 6 styles) and junk ("").  The production form chains
+    after TranscriptRepairStage; repaired-row behavior is covered by the
+    flagship and the reference parity suite."""
+    import json as _json
+
+    from engine.data.clips import cached_clips_dataset
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_pylist()
+        durs = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+        out_id, out_dur, out_n = [], [], []
+        for cid, dur, t in zip(ids, durs,
+                               batch.column("transcript").to_pylist()):
+            try:
+                doc = _json.loads(t)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(doc, dict) or not isinstance(doc.get("text"), str):
+                continue
+            out_id.append(cid)
+            out_dur.append(int(dur))
+            out_n.append(len(doc["text"].split(" ")))
+        n = np.asarray(out_n, dtype=np.int64)
+        d = np.asarray(out_dur, dtype=np.int64)
+        rate_ok = ((1000 * n >= 2 * d) & (1000 * n <= 4 * d))
+        return pa.table({
+            "clip_id": pa.array(out_id, pa.string()),
+            "dur_ms": pa.array(d),
+            "n_words": pa.array(n),
+            "rate_ok": pa.array(rate_ok.astype(np.int64)),
+        })
+
+    return cached_clips_dataset(10_000, seed=42) \
+        .map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["clip_id", "dur_ms"])
+
+
+CLIPS_SPEECH_RATE_SQL = f"""
+WITH t AS (
+  SELECT clip_id, CAST(dur_ms AS BIGINT) AS dur_ms,
+         GREATEST(1, CAST(dur_ms AS BIGINT) // 300) AS n_words
+  FROM read_parquet('{_CLIPS_TRUTH_PARQUET}')
+  WHERE defect NOT IN ('bad_json', 'junk')
+)
+SELECT clip_id, dur_ms, n_words,
+  CAST(1000 * n_words >= 2 * dur_ms
+       AND 1000 * n_words <= 4 * dur_ms AS BIGINT) AS rate_ok
+FROM t ORDER BY clip_id, dur_ms
+"""
+
+
 def _minhash_near_dup(sf_dir: str):
     import ray.data
 
@@ -1805,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": _video_frame_sample,
         "clips_verdicts_vs_planted": _clips_verdicts_vs_planted,
         "clips_violations_vs_planted": _clips_violations_vs_planted,
+        "clips_speech_rate": _clips_speech_rate,
         # rows-only (approximate / non-SQL-expressible / synthetic clips table)
         "validate_clips": _validate_clips,
         "clips_violations": _clips_violations,
@@ -1975,4 +2037,5 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
         "clips_verdicts_vs_planted": CLIPS_VERDICTS_PLANTED_SQL,
         "clips_violations_vs_planted": CLIPS_VIOLATIONS_PLANTED_SQL,
+        "clips_speech_rate": CLIPS_SPEECH_RATE_SQL,
     })

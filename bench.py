@@ -118,6 +118,9 @@ QUERY_BENCH_NAMES = [
     "doc_edit_distance_adjacent",
     # round-4 continuation session 3: JPEG codec + moments combiner
     "jpeg_image_metadata", "corr_stats_by_returnflag",
+    # round-4 session 4: curation filters, profiler, constraint suite
+    "decontaminate_documents", "profile_events",
+    "lineitem_constraint_summary", "user_order_activity",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single

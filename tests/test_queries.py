@@ -35,6 +35,7 @@ FAST_ORACLED = [
     "lineitem_constraint_summary",
     "term_frequency_spectrum",
     "token_diversity_documents",
+    "clips_speech_rate",
 ]
 
 
