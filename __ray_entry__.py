@@ -1791,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_by_type": q.events_daily_by_type,
         "csv_events_daily": q.csv_events_daily,
         "csv_gz_events_daily": q.csv_gz_events_daily,
+        "orc_events_daily": q.orc_events_daily,
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_multi_top5": q.knn_multi_top5,
         "sessionize_events": q.sessionize_events,
@@ -1962,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_by_type": q.EVENTS_DAILY_SQL,
         "csv_events_daily": q.EVENTS_DAILY_SQL,
         "csv_gz_events_daily": q.EVENTS_DAILY_SQL,
+        "orc_events_daily": q.EVENTS_DAILY_SQL,
         "knn_cosine_top10": q.KNN_SQL,
         "knn_multi_top5": q.KNN_MULTI_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,

@@ -1115,6 +1115,70 @@ def csv_gz_events_daily(sf_dir: str):
         path, arrow_open_stream_args={"compression": "gzip"}))
 
 
+def _events_orc_cache(sf_dir: str) -> str:
+    """Shard (event_type, ts, value) to ORC files once per corpus (same
+    token-keyed /tmp cache + atomic-rename recipe as the CSV/JSONL
+    sources); 4 shards so the read parallelizes."""
+    import os
+
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_events_orc_v1_{tag}_{_source_token(src)}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    tbl = pq.read_table(src, columns=["event_type", "ts", "value"])
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = 4
+    step = -(-tbl.num_rows // n_shards)
+    for s in range(n_shards):
+        part = tbl.slice(s * step, step)
+        if part.num_rows == 0:
+            continue
+        tmp = os.path.join(out_dir, f"part-{s:02d}.orc.{os.getpid()}.tmp")
+        try:
+            paorc.write_table(part, tmp)
+            os.replace(tmp, os.path.join(out_dir, f"part-{s:02d}.orc"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    with open(done + f".{os.getpid()}.tmp", "w") as f:
+        f.write("ok")
+    os.replace(done + f".{os.getpid()}.tmp", done)
+    return out_dir
+
+
+def orc_events_daily(sf_dir: str):
+    """ORC COLUMNAR SOURCE: the daily aggregate streamed from ORC shards —
+    Ray Data has no native ORC reader, so this is the bring-your-own-format
+    recipe: ``read_binary_files`` distributes the shard bytes and pyarrow's
+    ORC reader decodes WITH COLUMN PRUNING inside each read task (the same
+    seam a Lance/Avro reader would use).  Shares the daily-aggregate oracle
+    with the parquet/CSV/JSONL queries, so a lossy round-trip
+    hash-mismatches."""
+    import ray.data
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as paorc
+
+        parts = [paorc.ORCFile(pa.BufferReader(b.as_py())).read(
+            columns=["event_type", "ts", "value"])
+            for b in batch.column("bytes")]
+        if not parts:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "value": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_binary_files(_events_orc_cache(sf_dir),
+                                    file_extensions=["orc"])
+    return _events_daily_agg(ds.map_batches(decode, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+
+
 def _events_daily_agg(ds):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -36,6 +36,7 @@ FAST_ORACLED = [
     "term_frequency_spectrum",
     "token_diversity_documents",
     "clips_speech_rate",
+    "orc_events_daily",
 ]
 
 
