@@ -3164,6 +3164,92 @@ FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
 """
 
 
+BOILERPLATE_WIDTH = 3
+BOILERPLATE_MIN_DOCS = 5
+BOILERPLATE_TOP = 50
+
+
+def boilerplate_ngrams(sf_dir: str):
+    """Cross-document boilerplate detection (C4-style duplicated-span
+    analysis): token 3-shingles appearing in >= 5 distinct documents,
+    top-50 by document reach.  Per-batch kernel emits per-doc-distinct
+    (shingle, doc occurrences) pairs — the wordcount combiner at shingle
+    granularity — so the single exchange moves per-doc-distinct shingles,
+    then the tiny survivor report sorts on the driver."""
+    from engine.ops.text import TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        shingles, docs_l, occ = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, t in zip(ids, batch.column("text").to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            c = Counter(" ".join(toks[j:j + BOILERPLATE_WIDTH])
+                        for j in range(len(toks) - BOILERPLATE_WIDTH + 1))
+            for g, k in c.items():
+                shingles.append(g)
+                docs_l.append(1)
+                occ.append(int(k))
+        return pa.table({"shingle": pa.array(shingles, pa.large_string()),
+                         "n_docs": pa.array(docs_l, pa.int64()),
+                         "n_occ": pa.array(occ, pa.int64())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("shingle").sum(["n_docs", "n_occ"])
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            batch.column("sum(n_docs)").to_numpy(zero_copy_only=False)
+            >= BOILERPLATE_MIN_DOCS)
+        kept = batch.filter(mask)
+        # Per-block top-K pre-cut (shingles partition across blocks, so the
+        # global top-K is inside the union of per-block top-Ks): the driver
+        # take_all sees <= K x blocks rows no matter how much boilerplate
+        # the corpus has.
+        rows = sorted(
+            zip(kept.column("shingle").to_pylist(),
+                kept.column("sum(n_docs)").to_pylist(),
+                kept.column("sum(n_occ)").to_pylist()),
+            key=lambda r: (-r[1], -r[2], r[0]))[:BOILERPLATE_TOP]
+        return pa.table({
+            "shingle": pa.array([r[0] for r in rows], pa.large_string()),
+            "n_docs": pa.array([int(r[1]) for r in rows], pa.int64()),
+            "n_occ": pa.array([int(r[2]) for r in rows], pa.int64()),
+        })
+
+    top = agg.map_batches(survivors, batch_format="pyarrow").take_all()
+    rows = sorted(
+        ((r["shingle"], r["n_docs"], r["n_occ"]) for r in top),
+        key=lambda r: (-r[1], -r[2], r[0]))[:BOILERPLATE_TOP]
+    return pa.table({
+        "shingle": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_occ": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+BOILERPLATE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN generate_series(1, len(toks)-2)]) AS g
+  FROM d
+), agg AS (
+  SELECT g AS shingle, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+  FROM sh GROUP BY g
+)
+SELECT shingle, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occ AS BIGINT) AS n_occ
+FROM agg WHERE n_docs >= 5
+ORDER BY n_docs DESC, n_occ DESC, shingle LIMIT 50
+"""
+
+
 # Demonstration rule set over lineitem — thresholds chosen so every rule
 # kind fires on real rows (price_positive deliberately never fires: the
 # zero-violation path must round-trip too).

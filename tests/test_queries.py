@@ -37,6 +37,7 @@ FAST_ORACLED = [
     "token_diversity_documents",
     "clips_speech_rate",
     "orc_events_daily",
+    "boilerplate_ngrams",
 ]
 
 
