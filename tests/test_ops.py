@@ -1045,3 +1045,38 @@ def test_constraint_suite_null_semantics_and_errors():
                           key_cols=["id"])
     with pytest.raises(ValueError, match="unknown rule kind"):
         bad.violations_batch(batch)
+
+
+def test_repetition_stats_hypothesis():
+    """Property: stage output equals the brute-force Counter reference for
+    arbitrary token streams (incl. whitespace-classed separators)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.ops.text import TOKEN_RE, RepetitionStatsStage
+
+    token = st.text(alphabet="abX.", min_size=1, max_size=3)
+    doc = st.lists(token, min_size=0, max_size=40).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(texts):
+        batch = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})
+        out = RepetitionStatsStage()(batch)
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t)
+            n = len(toks)
+            fg = Counter(tuple(toks[j:j + 5]) for j in range(n - 4))
+            dup = sum(c for c in fg.values() if c > 1)
+            assert out.column("n_tokens")[i].as_py() == n
+            assert out.column("distinct_tokens")[i].as_py() == len(set(toks))
+            assert out.column("dup_5gram_positions")[i].as_py() == dup
+            bg = Counter(zip(toks, toks[1:]))
+            assert out.column("top_bigram_count")[i].as_py() == (
+                max(bg.values()) if bg else 0)
+
+    check()
