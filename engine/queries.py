@@ -2990,13 +2990,21 @@ def user_order_activity(sf_dir: str):
         return ds.groupby("key").aggregate(
             ray.data.aggregate.Sum(col, alias_name=col))
 
+    # Materialize the aggregated (per-key, combiner-collapsed) sides once:
+    # count() and the join would otherwise each re-execute the full scan
+    # lineage (3x read cost measured in the sweep).
     ev = grouped(_read(sf_dir, "events", columns=["user_id"]).map_batches(
         count_partial("user_id", "n_events"), batch_format="pyarrow",
-        zero_copy_batch=True), "n_events")
+        zero_copy_batch=True), "n_events").materialize()
     od = grouped(_read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         count_partial("o_custkey", "n_orders"), batch_format="pyarrow",
-        zero_copy_batch=True), "n_orders")
-    nparts = shuffle_partitions(ev.count() + od.count())
+        zero_copy_batch=True), "n_orders").materialize()
+    # Width scales with the per-key row count, floored at 2 — the combiner
+    # already collapsed the big scans, so a small key space must not pay
+    # for cpus//2 idle hash-shuffle aggregators (measured 4.7s -> ~2s).
+    n_keys = ev.count() + od.count()
+    nparts = max(2, min(shuffle_partitions(n_keys),
+                        -(-n_keys // 100_000)))
     joined = ev.join(od, "full_outer", nparts, on=("key",),
                      left_suffix="_l", right_suffix="_r")
 
