@@ -140,12 +140,14 @@ def profile_table(ds, columns: list[str]) -> pa.Table:
                              for c in rows], pa.int64()),
         "n_distinct": pa.array([int(distinct.get(c, 0)) for c in rows],
                                pa.int64()),
+        # SQL MIN/MAX of an empty/all-null column is NULL — mirror that
+        # (an empty-corpus profile must hash-match the oracle).
         "min_repr": pa.array(
             [_repr_out(merged[c]["min"], kinds[c])
-             if c in merged and merged[c]["min"] is not None else ""
+             if c in merged and merged[c]["min"] is not None else None
              for c in rows], pa.string()),
         "max_repr": pa.array(
             [_repr_out(merged[c]["max"], kinds[c])
-             if c in merged and merged[c]["max"] is not None else ""
+             if c in merged and merged[c]["max"] is not None else None
              for c in rows], pa.string()),
     })

@@ -1136,8 +1136,8 @@ def _events_orc_cache(sf_dir: str) -> str:
     step = -(-tbl.num_rows // n_shards)
     for s in range(n_shards):
         part = tbl.slice(s * step, step)
-        if part.num_rows == 0:
-            continue
+        if part.num_rows == 0 and s > 0:
+            continue       # shard 0 always exists, even for an empty corpus
         tmp = os.path.join(out_dir, f"part-{s:02d}.orc.{os.getpid()}.tmp")
         try:
             paorc.write_table(part, tmp)
@@ -3003,6 +3003,16 @@ def user_order_activity(sf_dir: str):
     # already collapsed the big scans, so a small key space must not pay
     # for cpus//2 idle hash-shuffle aggregators (measured 4.7s -> ~2s).
     n_keys = ev.count() + od.count()
+    if n_keys == 0:
+        # Ray's hash-join aggregator raises on schema-less empty inputs;
+        # SQL returns a typed empty result — mirror that.
+        return pa.table({
+            "key": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "in_events": pa.array([], pa.int64()),
+            "in_orders": pa.array([], pa.int64()),
+        })
     nparts = max(2, min(shuffle_partitions(n_keys),
                         -(-n_keys // 100_000)))
     joined = ev.join(od, "full_outer", nparts, on=("key",),

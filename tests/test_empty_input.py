@@ -21,7 +21,13 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # an empty corpus, matching the DuckDB oracle exactly.
 EMPTY_SAFE = ["distinct_users_by_type", "distinct_users_events",
               "q1_pricing_summary", "grouped_stats_orderpriority",
-              "orders_per_segment"]
+              "orders_per_segment",
+              # session-4 additions whose finalize is keyed-tree-reduce or
+              # an explicit typed guard (user_order_activity previously
+              # CRASHED in the hash-join aggregator on empty input):
+              "per_group_sample_documents", "profile_events",
+              "lineitem_constraint_summary", "term_frequency_spectrum",
+              "boilerplate_ngrams", "user_order_activity"]
 
 
 @pytest.fixture(scope="module")
