@@ -1922,8 +1922,8 @@ _ORACLE_PRIORITY = [
     "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
     # round-4 session-4 new-family representatives (rotated in for the
-    # 5 redundant siblings above; those stay green in FAST_ORACLED +
-    # tools/check_oracles.py):
+    # 5 redundant siblings above; those stay green in tests/test_queries.py
+    # FAST_ORACLED and the full tools/check_oracles.py gate):
     "repetition_stats_documents", "decontaminate_documents",
     "profile_events", "lineitem_constraint_violations",
     "user_order_activity",

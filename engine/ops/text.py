@@ -36,6 +36,15 @@ ASCII_WS_CLASS = "\t\n\f\r "
 TOKEN_RE = re.compile(f"[^{ASCII_WS_CLASS}]+")
 
 
+def safe_frac(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """num/den as ONE exactly-rounded IEEE float64 division, 0.0 where the
+    denominator is 0 — the convention every hash-oracled ratio shares with
+    its SQL CASE WHEN ... ELSE CAST(num AS DOUBLE)/den END oracle."""
+    out = np.zeros(len(num), dtype=np.float64)
+    np.divide(num, den, out=out, where=np.asarray(den) > 0)
+    return out
+
+
 class TokenStatsStage:
     """Adds ws_tokens, re_tokens, punct_ratio, digit_ratio, stop_ratio, quality.
 
@@ -252,11 +261,7 @@ class RepetitionStatsStage:
                 cols["dup_5gram_positions"][i] = sum(
                     c for c in fg.values() if c > 1)
 
-        def frac(num: np.ndarray, den: np.ndarray) -> np.ndarray:
-            out = np.zeros(len(num), dtype=np.float64)
-            np.divide(num, den, out=out, where=den > 0)
-            return out
-
+        frac = safe_frac
         arrays = {"doc_id": batch.column("doc_id")}
         arrays.update({k: pa.array(v) for k, v in cols.items()})
         arrays["dup_token_frac"] = pa.array(frac(

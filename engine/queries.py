@@ -1168,8 +1168,10 @@ def orc_events_daily(sf_dir: str):
             columns=["event_type", "ts", "value"])
             for b in batch.column("bytes")]
         if not parts:
+            # pyarrow's ORC reader widens timestamp[us] -> timestamp[ns];
+            # the fallback must match or mixed block schemas reach the agg.
             return pa.table({"event_type": pa.array([], pa.string()),
-                             "ts": pa.array([], pa.timestamp("us")),
+                             "ts": pa.array([], pa.timestamp("ns")),
                              "value": pa.array([], pa.float64())})
         return pa.concat_tables(parts)
 
@@ -2872,12 +2874,11 @@ def vocab_coverage_documents(sf_dir: str):
             toks = TOKEN_RE.findall(t or "")
             n[i] = len(toks)
             oov[i] = sum(1 for w in toks if w not in v)
-        rate = np.zeros(len(texts), dtype=np.float64)
-        np.divide(oov, n, out=rate, where=n > 0)
+        from engine.ops.text import safe_frac
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n), "oov_tokens": pa.array(oov),
-            "oov_rate": pa.array(rate),
+            "oov_rate": pa.array(safe_frac(oov, n)),
         })
 
     return docs.map_batches(score, batch_format="pyarrow",
@@ -3002,8 +3003,8 @@ def user_order_activity(sf_dir: str):
     # Width scales with the per-key row count, floored at 2 — the combiner
     # already collapsed the big scans, so a small key space must not pay
     # for cpus//2 idle hash-shuffle aggregators (measured 4.7s -> ~2s).
-    n_keys = ev.count() + od.count()
-    if n_keys == 0:
+    ev_n, od_n = ev.count(), od.count()
+    if ev_n == 0 and od_n == 0:
         # Ray's hash-join aggregator raises on schema-less empty inputs;
         # SQL returns a typed empty result — mirror that.
         return pa.table({
@@ -3013,10 +3014,22 @@ def user_order_activity(sf_dir: str):
             "in_events": pa.array([], pa.int64()),
             "in_orders": pa.array([], pa.int64()),
         })
-    nparts = max(2, min(shuffle_partitions(n_keys),
-                        -(-n_keys // 100_000)))
-    joined = ev.join(od, "full_outer", nparts, on=("key",),
-                     left_suffix="_l", right_suffix="_r")
+    if ev_n == 0 or od_n == 0:
+        # One-sided input: the empty side's groupby output is schema-less
+        # and would crash the join aggregator too (KeyError 'key') — a
+        # FULL OUTER join against an empty side IS the other side with the
+        # absent count column null.
+        side = od if ev_n == 0 else ev
+        absent = "n_events" if ev_n == 0 else "n_orders"
+        joined = side.map_batches(
+            lambda t, _c=absent: t.append_column(
+                _c, pa.array([None] * len(t), pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        nparts = max(2, min(shuffle_partitions(ev_n + od_n),
+                            -(-(ev_n + od_n) // 100_000)))
+        joined = ev.join(od, "full_outer", nparts, on=("key",),
+                         left_suffix="_l", right_suffix="_r")
 
     def finalize(batch: pa.Table) -> pa.Table:
         def col(name):
@@ -3148,14 +3161,12 @@ def token_diversity_documents(sf_dir: str):
                 _, cnts = np.unique(np.asarray(toks, dtype=object),
                                     return_counts=True)
                 rep[i] = int((cnts * (cnts - 1)).sum())
-        den = n * (n - 1)
-        idx = np.zeros(len(texts), dtype=np.float64)
-        np.divide(rep, den, out=idx, where=den > 0)
+        from engine.ops.text import safe_frac
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n),
             "repeat_pairs": pa.array(rep),
-            "simpson_index": pa.array(idx),
+            "simpson_index": pa.array(safe_frac(rep, n * (n - 1))),
         })
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \

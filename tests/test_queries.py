@@ -38,6 +38,12 @@ FAST_ORACLED = [
     "clips_speech_rate",
     "orc_events_daily",
     "boilerplate_ngrams",
+    # rotated out of the driver oracle cap — keep per-commit coverage here:
+    "purchase_attribution_forward",
+    "lineitem_quantity_ranks",
+    "g711_audio_features",
+    "dedup_near_documents",
+    "drift_events_split",
 ]
 
 
@@ -655,3 +661,50 @@ def test_transcript_repair_distance_semantics(ray_session):
         [(x or "").encode()[:64] for x in reps])
     final = np.where(ok, dist, -1)
     assert final[0] == -1 and final[1] >= 0
+
+
+def test_user_order_activity_one_sided_empty(ray_session, tmp_path):
+    """Review finding: a FULL OUTER join with exactly one empty side crashed
+    Ray's hash-join aggregator (KeyError 'key').  One-sided inputs must
+    produce the surviving side with the absent count zeroed."""
+    import pyarrow.parquet as pq
+
+    from engine import queries as q
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([7, 7, 9], pa.int64()),
+        "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        "event_type": pa.array(["click"] * 3, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    empty_orders = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+    })
+    pq.write_table(empty_orders, str(tmp_path / "orders.parquet"))
+    out = q.user_order_activity(str(tmp_path)).to_pandas()
+    assert out["key"].tolist() == [7, 9]
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["n_orders"].tolist() == [0, 0]
+    assert out["in_events"].tolist() == [1, 1]
+    assert out["in_orders"].tolist() == [0, 0]
+
+    # mirrored: events empty, orders present
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([4, 4], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "event_id": pa.array([], pa.int64()),
+        "props": pa.array([], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    out = q.user_order_activity(str(tmp_path)).to_pandas()
+    assert out["key"].tolist() == [4]
+    assert out["n_orders"].tolist() == [2]
+    assert out["n_events"].tolist() == [0] and out["in_events"].tolist() == [0]
