@@ -1792,7 +1792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_events_daily": q.csv_events_daily,
         "csv_gz_events_daily": q.csv_gz_events_daily,
         "orc_events_daily": q.orc_events_daily,
+        "ipc_events_daily": q.ipc_events_daily,
         "boilerplate_ngrams": q.boilerplate_ngrams,
+        "documents_diff": q.documents_diff,
         "knn_cosine_top10": q.knn_cosine_top10,
         "knn_multi_top5": q.knn_multi_top5,
         "sessionize_events": q.sessionize_events,
@@ -1965,7 +1967,9 @@ def oracle_sql() -> dict[str, str]:
         "csv_events_daily": q.EVENTS_DAILY_SQL,
         "csv_gz_events_daily": q.EVENTS_DAILY_SQL,
         "orc_events_daily": q.EVENTS_DAILY_SQL,
+        "ipc_events_daily": q.EVENTS_DAILY_SQL,
         "boilerplate_ngrams": q.BOILERPLATE_SQL,
+        "documents_diff": q.DOCUMENTS_DIFF_SQL,
         "knn_cosine_top10": q.KNN_SQL,
         "knn_multi_top5": q.KNN_MULTI_SQL,
         "sessionize_events": q.SESSIONIZE_SQL,

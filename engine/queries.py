@@ -1181,6 +1181,67 @@ def orc_events_daily(sf_dir: str):
                                             zero_copy_batch=True))
 
 
+def _events_ipc_cache(sf_dir: str) -> str:
+    """Arrow IPC (Feather v2) shards of (event_type, ts, value) — same
+    token-keyed cache recipe as the ORC shards."""
+    import os
+
+    import pyarrow.ipc as paipc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_events_ipc_v1_{tag}_{_source_token(src)}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    tbl = pq.read_table(src, columns=["event_type", "ts", "value"])
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = 4
+    step = -(-tbl.num_rows // n_shards) if tbl.num_rows else 1
+    for s in range(n_shards):
+        part = tbl.slice(s * step, step)
+        if part.num_rows == 0 and s > 0:
+            continue
+        tmp = os.path.join(out_dir, f"part-{s:02d}.arrow.{os.getpid()}.tmp")
+        try:
+            with paipc.new_file(tmp, part.schema) as w:
+                w.write_table(part)
+            os.replace(tmp, os.path.join(out_dir, f"part-{s:02d}.arrow"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    with open(done + f".{os.getpid()}.tmp", "w") as f:
+        f.write("ok")
+    os.replace(done + f".{os.getpid()}.tmp", done)
+    return out_dir
+
+
+def ipc_events_daily(sf_dir: str):
+    """Arrow IPC / Feather SOURCE: the daily aggregate from IPC shards —
+    ``read_binary_files`` + zero-copy ``pyarrow.ipc.open_file`` decode
+    inside the read tasks (IPC is the wire format Arrow memory-maps, so
+    this is the cheapest bring-your-own-format path of all).  Shares the
+    daily-aggregate oracle with the parquet/CSV/JSONL/ORC variants."""
+    import ray.data
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import pyarrow.ipc as paipc
+
+        parts = [paipc.open_file(pa.BufferReader(b.as_py())).read_all()
+                 for b in batch.column("bytes")]
+        if not parts:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "value": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_binary_files(_events_ipc_cache(sf_dir),
+                                    file_extensions=["arrow"])
+    return _events_daily_agg(ds.map_batches(decode, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+
+
 def _events_daily_agg(ds):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -3190,6 +3251,67 @@ SELECT d.doc_id,
        ELSE CAST(per.rep AS DOUBLE) / (per.n * (per.n - 1)) END
     AS simpson_index
 FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def documents_diff(sf_dir: str):
+    """Corpus-version diff (engine/ops/diff.py): v2 derives from documents
+    by SQL-expressible rules (drop doc_id%13==0, append ' [edited]' to
+    text of the %17==0 survivors, add %29==0 copies under key+1000000),
+    so the oracle reconstructs v2 and the change set exactly.  The diff
+    itself is the generic operator: per-side (key, md5) collapse inside
+    map_batches + one full-outer join; unchanged rows never leave the
+    join kernel."""
+    from engine.ops.diff import table_diff
+
+    v1 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_v2(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id, out_t = [], []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            if i % 13 == 0:
+                continue
+            out_id.append(i)
+            out_t.append((t or "") + " [edited]" if i % 17 == 0 else t)
+        for i, t in zip(ids, texts):
+            if int(i) % 29 == 0:
+                out_id.append(int(i) + 1_000_000)
+                out_t.append(t)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    v2 = v1.map_batches(make_v2, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    diff = table_diff(v1, v2, key_col="doc_id", text_col="text")
+    if isinstance(diff, pa.Table):         # both-empty: typed empty table
+        return diff.rename_columns(["doc_id", "change"])
+    return diff.map_batches(
+        lambda t: pa.table({"doc_id": t.column("key"),
+                            "change": t.column("change")}),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .sort(["doc_id", "change"])
+
+
+DOCUMENTS_DIFF_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0
+), ah AS (SELECT doc_id, md5(text) AS h FROM documents),
+bh AS (SELECT doc_id, md5(text) AS h FROM b)
+SELECT COALESCE(ah.doc_id, bh.doc_id) AS doc_id,
+  CASE WHEN bh.doc_id IS NULL THEN 'removed'
+       WHEN ah.doc_id IS NULL THEN 'added'
+       ELSE 'modified' END AS change
+FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id
+WHERE bh.doc_id IS NULL OR ah.doc_id IS NULL OR ah.h <> bh.h
+ORDER BY doc_id, change
 """
 
 

@@ -1080,3 +1080,29 @@ def test_repetition_stats_hypothesis():
                 max(bg.values()) if bg else 0)
 
     check()
+
+
+def test_table_diff_classification_and_empty_sides(ray_session):
+    import ray.data
+
+    from engine.ops.diff import table_diff
+
+    def mk(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    a = mk([(1, "same"), (2, "old"), (3, "gone")])
+    b = mk([(1, "same"), (2, "new"), (4, "fresh")])
+    out = table_diff(a, b, key_col="doc_id", text_col="text").to_pandas()
+    got = sorted(zip(out["key"], out["change"]))
+    assert got == [(2, "modified"), (3, "removed"), (4, "added")]
+
+    # one-sided empties bypass the join (it crashes on schema-less input)
+    empty = mk([])
+    out = table_diff(a, empty, key_col="doc_id", text_col="text").to_pandas()
+    assert sorted(out["change"].unique()) == ["removed"] and len(out) == 3
+    out = table_diff(empty, b, key_col="doc_id", text_col="text").to_pandas()
+    assert sorted(out["change"].unique()) == ["added"] and len(out) == 3
+    out = table_diff(empty, empty, key_col="doc_id", text_col="text").to_pandas()
+    assert len(out) == 0 and sorted(out.columns) == ["change", "key"]

@@ -38,6 +38,8 @@ FAST_ORACLED = [
     "clips_speech_rate",
     "orc_events_daily",
     "boilerplate_ngrams",
+    "ipc_events_daily",
+    "documents_diff",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
