@@ -50,7 +50,32 @@ def main(argv: list[str] | None = None) -> int:
     base.add_argument("--clips", type=int, default=20_000)
     base.add_argument("--num-cpus", type=int, default=None)
 
+    qr = sub.add_parser(
+        "query", help="run a named pipeline from the query catalog")
+    qr.add_argument("name", nargs="?", default=None,
+                    help="query name (omit with --list to enumerate)")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="input table directory (parquet per table)")
+    qr.add_argument("-o", "--out", default=None,
+                    help="write the result to this parquet file "
+                         "(default: print a preview + row count)")
+    qr.add_argument("--list", action="store_true",
+                    help="list available query names and exit")
+    qr.add_argument("--limit", type=int, default=10,
+                    help="preview row count when not writing (default 10)")
+    qr.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.command == "query" and args.list:
+        # Catalog listing needs no Ray session.
+        import __ray_entry__ as entrymod
+
+        oracled = set(entrymod.oracle_sql())
+        for name in sorted(entrymod.queries()):
+            print(f"{name}{'' if name in oracled else '  [rows-only]'}")
+        return 0
+
     ray = _ensure_ray(args.num_cpus)
     try:
         if args.command == "validate":
@@ -73,6 +98,36 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(metrics, default=str))
             return 0 if metrics["rows"] == n_clips else 1
+        if args.command == "query":
+            import pyarrow as pa
+
+            import __ray_entry__ as entrymod
+
+            catalog = entrymod.queries()
+            if args.name is None or args.name not in catalog:
+                known = ", ".join(sorted(catalog)[:8])
+                print(f"unknown query {args.name!r}; try --list ({known}, ...)",
+                      file=sys.stderr)
+                return 2
+            result = catalog[args.name](args.sf_dir)
+            table = result if isinstance(result, pa.Table) else None
+            if table is None:
+                if hasattr(result, "to_arrow_refs"):   # ray Dataset
+                    table = pa.concat_tables(
+                        [b for b in result.iter_batches(batch_format="pyarrow")]) \
+                        if result.count() else pa.table({})
+                else:                                   # pandas
+                    table = pa.Table.from_pandas(result, preserve_index=False)
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(table, args.out)
+                print(json.dumps({"query": args.name, "rows": table.num_rows,
+                                  "out": args.out}))
+            else:
+                print(table.slice(0, args.limit).to_pandas().to_string())
+                print(json.dumps({"query": args.name, "rows": table.num_rows}))
+            return 0
         if args.command == "baseline":
             from engine.baseline import build_baseline
             from engine.run import BASELINE_SKETCH_PATH

@@ -55,3 +55,27 @@ def test_validate_job_end_to_end(tmp_path):
 def test_unknown_command_rejected():
     proc = _run_job(["frobnicate"], timeout=60)
     assert proc.returncode != 0
+
+
+def test_query_cli_list_run_and_write(tmp_path):
+    import pyarrow.parquet as pq
+
+    listing = _run_job(["query", "--list"], timeout=120)
+    assert listing.returncode == 0
+    names = listing.stdout.split()
+    assert "token_stats_documents" in names
+    assert "validate_clips" in listing.stdout     # rows-only tag present
+    assert "[rows-only]" in listing.stdout
+
+    out = tmp_path / "q.parquet"
+    proc = _run_job(["query", "token_stats_documents",
+                     "--sf-dir", "/root/testdata/sf0.001",
+                     "-o", str(out), "--num-cpus", "4"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["rows"] == 500
+    assert pq.read_table(out).num_rows == 500
+
+    bad = _run_job(["query", "definitely_not_a_query", "--num-cpus", "4"],
+                   timeout=120)
+    assert bad.returncode == 2
