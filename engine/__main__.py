@@ -67,14 +67,21 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    if args.command == "query" and args.list:
-        # Catalog listing needs no Ray session.
+    if args.command == "query":
+        # Catalog listing and name validation need no Ray session.
         import __ray_entry__ as entrymod
 
-        oracled = set(entrymod.oracle_sql())
-        for name in sorted(entrymod.queries()):
-            print(f"{name}{'' if name in oracled else '  [rows-only]'}")
-        return 0
+        catalog = entrymod.queries()
+        if args.list:
+            oracled = set(entrymod.oracle_sql())
+            for name in sorted(catalog):
+                print(f"{name}{'' if name in oracled else '  [rows-only]'}")
+            return 0
+        if args.name is None or args.name not in catalog:
+            known = ", ".join(sorted(catalog)[:8])
+            print(f"unknown query {args.name!r}; try --list ({known}, ...)",
+                  file=sys.stderr)
+            return 2
 
     ray = _ensure_ray(args.num_cpus)
     try:
@@ -101,21 +108,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "query":
             import pyarrow as pa
 
-            import __ray_entry__ as entrymod
-
-            catalog = entrymod.queries()
-            if args.name is None or args.name not in catalog:
-                known = ", ".join(sorted(catalog)[:8])
-                print(f"unknown query {args.name!r}; try --list ({known}, ...)",
-                      file=sys.stderr)
-                return 2
             result = catalog[args.name](args.sf_dir)
             table = result if isinstance(result, pa.Table) else None
             if table is None:
                 if hasattr(result, "to_arrow_refs"):   # ray Dataset
-                    table = pa.concat_tables(
-                        [b for b in result.iter_batches(batch_format="pyarrow")]) \
-                        if result.count() else pa.table({})
+                    # Collect in ONE pass (count() would re-execute the
+                    # whole plan); keep the typed schema on empty results.
+                    batches = list(result.iter_batches(batch_format="pyarrow"))
+                    if batches:
+                        table = pa.concat_tables(batches)
+                    else:
+                        schema = result.schema()
+                        table = (schema.empty_table()
+                                 if schema is not None and hasattr(schema, "empty_table")
+                                 else (pa.schema(
+                                     list(zip(schema.names, schema.types)))
+                                     .empty_table() if schema is not None
+                                     else pa.table({})))
                 else:                                   # pandas
                     table = pa.Table.from_pandas(result, preserve_index=False)
             if args.out:

@@ -18,16 +18,17 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 
 def _hash_stage(key_col: str, text_col: str):
+    # NULL text hashes like '' (a NULL<->'' change is deliberately not a
+    # diff); the key keeps its own type — any hashable Arrow type joins.
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         hs = [hashlib.md5((t or "").encode("utf-8", "ignore")).hexdigest()
               for t in texts]
-        return pa.table({"key": batch.column(key_col).cast(pa.int64()),
+        return pa.table({"key": batch.column(key_col),
                          "h": pa.array(hs, pa.string())})
     return fn
 
@@ -65,7 +66,13 @@ def table_diff(a_ds, b_ds, *, key_col: str, text_col: str,
             # A typed pyarrow Table, not a Dataset: Ray reports schema None
             # for a Dataset whose every block is empty, and to_pandas would
             # drop the columns (round-3 finding).
-            return pa.table({"key": pa.array([], pa.int64()),
+            key_type = pa.int64()
+            for src_ds in (a_ds, b_ds):
+                s = src_ds.schema()
+                if s is not None and key_col in s.names:
+                    key_type = s.types[s.names.index(key_col)]
+                    break
+            return pa.table({"key": pa.array([], key_type),
                              "change": pa.array([], pa.string())})
         return side.map_batches(tag(label), batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -76,22 +83,23 @@ def table_diff(a_ds, b_ds, *, key_col: str, text_col: str,
                     left_suffix="_a", right_suffix="_b")
 
     def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         names = batch.schema.names
-        ha_col = "h_a" if "h_a" in names else "h"
-        hb_col = "h_b" if "h_b" in names else "h"
-        ha = batch.column(ha_col).to_pylist()
-        hb = batch.column(hb_col).to_pylist()
-        keys = batch.column("key").to_pylist()
-        out_k, out_c = [], []
-        for k, x, y in zip(keys, ha, hb):
-            if x is None:
-                out_k.append(k); out_c.append("added")
-            elif y is None:
-                out_k.append(k); out_c.append("removed")
-            elif x != y:
-                out_k.append(k); out_c.append("modified")
-        return pa.table({"key": pa.array(out_k, pa.int64()),
-                         "change": pa.array(out_c, pa.string())})
+        ha = batch.column("h_a" if "h_a" in names else "h")
+        hb = batch.column("h_b" if "h_b" in names else "h")
+        # Vectorized: unchanged rows (the bulk) die here without touching
+        # Python — the operator's cost really is O(change set).
+        added = pc.is_null(ha)
+        removed = pc.is_null(hb)
+        modified = pc.fill_null(pc.not_equal(ha, hb), False)
+        change = pc.if_else(added, "added",
+                            pc.if_else(removed, "removed",
+                                       pc.if_else(modified, "modified",
+                                                  pa.scalar(None, pa.string()))))
+        out = pa.table({"key": batch.column("key"),
+                        "change": change.cast(pa.string())})
+        return out.filter(pc.is_valid(out.column("change")))
 
     return joined.map_batches(classify, batch_format="pyarrow",
                               zero_copy_batch=True)

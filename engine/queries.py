@@ -1115,33 +1115,33 @@ def csv_gz_events_daily(sf_dir: str):
         path, arrow_open_stream_args={"compression": "gzip"}))
 
 
-def _events_orc_cache(sf_dir: str) -> str:
-    """Shard (event_type, ts, value) to ORC files once per corpus (same
-    token-keyed /tmp cache + atomic-rename recipe as the CSV/JSONL
-    sources); 4 shards so the read parallelizes."""
+def _sharded_events_cache(sf_dir: str, fmt: str, ext: str,
+                          write_fn) -> str:
+    """Shard (event_type, ts, value) to /tmp once per corpus: token-keyed
+    dir, _DONE marker, pid-tmp atomic renames; shard 0 always exists (an
+    empty corpus still yields a readable source)."""
     import os
 
-    import pyarrow.orc as paorc
     import pyarrow.parquet as pq
 
     src = f"{sf_dir}/events.parquet"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/graft_events_orc_v1_{tag}_{_source_token(src)}"
+    out_dir = f"/tmp/graft_events_{fmt}_v1_{tag}_{_source_token(src)}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     tbl = pq.read_table(src, columns=["event_type", "ts", "value"])
     os.makedirs(out_dir, exist_ok=True)
     n_shards = 4
-    step = -(-tbl.num_rows // n_shards)
+    step = -(-tbl.num_rows // n_shards) if tbl.num_rows else 1
     for s in range(n_shards):
         part = tbl.slice(s * step, step)
         if part.num_rows == 0 and s > 0:
-            continue       # shard 0 always exists, even for an empty corpus
-        tmp = os.path.join(out_dir, f"part-{s:02d}.orc.{os.getpid()}.tmp")
+            continue
+        tmp = os.path.join(out_dir, f"part-{s:02d}.{ext}.{os.getpid()}.tmp")
         try:
-            paorc.write_table(part, tmp)
-            os.replace(tmp, os.path.join(out_dir, f"part-{s:02d}.orc"))
+            write_fn(part, tmp)
+            os.replace(tmp, os.path.join(out_dir, f"part-{s:02d}.{ext}"))
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -1149,6 +1149,13 @@ def _events_orc_cache(sf_dir: str) -> str:
         f.write("ok")
     os.replace(done + f".{os.getpid()}.tmp", done)
     return out_dir
+
+
+def _events_orc_cache(sf_dir: str) -> str:
+    import pyarrow.orc as paorc
+
+    return _sharded_events_cache(sf_dir, "orc", "orc",
+                                 lambda t, p: paorc.write_table(t, p))
 
 
 def orc_events_daily(sf_dir: str):
@@ -1182,39 +1189,13 @@ def orc_events_daily(sf_dir: str):
 
 
 def _events_ipc_cache(sf_dir: str) -> str:
-    """Arrow IPC (Feather v2) shards of (event_type, ts, value) — same
-    token-keyed cache recipe as the ORC shards."""
-    import os
-
     import pyarrow.ipc as paipc
-    import pyarrow.parquet as pq
 
-    src = f"{sf_dir}/events.parquet"
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/graft_events_ipc_v1_{tag}_{_source_token(src)}"
-    done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
-        return out_dir
-    tbl = pq.read_table(src, columns=["event_type", "ts", "value"])
-    os.makedirs(out_dir, exist_ok=True)
-    n_shards = 4
-    step = -(-tbl.num_rows // n_shards) if tbl.num_rows else 1
-    for s in range(n_shards):
-        part = tbl.slice(s * step, step)
-        if part.num_rows == 0 and s > 0:
-            continue
-        tmp = os.path.join(out_dir, f"part-{s:02d}.arrow.{os.getpid()}.tmp")
-        try:
-            with paipc.new_file(tmp, part.schema) as w:
-                w.write_table(part)
-            os.replace(tmp, os.path.join(out_dir, f"part-{s:02d}.arrow"))
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-    with open(done + f".{os.getpid()}.tmp", "w") as f:
-        f.write("ok")
-    os.replace(done + f".{os.getpid()}.tmp", done)
-    return out_dir
+    def write_ipc(t, p):
+        with paipc.new_file(p, t.schema) as w:
+            w.write_table(t)
+
+    return _sharded_events_cache(sf_dir, "ipc", "arrow", write_ipc)
 
 
 def ipc_events_daily(sf_dir: str):
@@ -3296,14 +3277,15 @@ def documents_diff(sf_dir: str):
 
 
 DOCUMENTS_DIFF_SQL = r"""
-WITH b AS (
+WITH a0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+b AS (
   SELECT doc_id,
          CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]' ELSE text END
            AS text
-  FROM documents WHERE doc_id % 13 <> 0
+  FROM a0 WHERE doc_id % 13 <> 0
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0
-), ah AS (SELECT doc_id, md5(text) AS h FROM documents),
+  SELECT doc_id + 1000000, text FROM a0 WHERE doc_id % 29 = 0
+), ah AS (SELECT doc_id, md5(text) AS h FROM a0),
 bh AS (SELECT doc_id, md5(text) AS h FROM b)
 SELECT COALESCE(ah.doc_id, bh.doc_id) AS doc_id,
   CASE WHEN bh.doc_id IS NULL THEN 'removed'

@@ -57,6 +57,7 @@ def test_unknown_command_rejected():
     assert proc.returncode != 0
 
 
+@pytest.mark.slow
 def test_query_cli_list_run_and_write(tmp_path):
     import pyarrow.parquet as pq
 

@@ -1106,3 +1106,22 @@ def test_table_diff_classification_and_empty_sides(ray_session):
     assert sorted(out["change"].unique()) == ["added"] and len(out) == 3
     out = table_diff(empty, empty, key_col="doc_id", text_col="text").to_pandas()
     assert len(out) == 0 and sorted(out.columns) == ["change", "key"]
+
+
+def test_table_diff_string_keys(ray_session):
+    """Review finding: the diff must preserve the key column's own type —
+    string-keyed tables (uuids, paths) are the advertised use case."""
+    import ray.data
+
+    from engine.ops.diff import table_diff
+
+    def mk(rows):
+        return ray.data.from_arrow(pa.table({
+            "path": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    a = mk([("s3://a", "x"), ("s3://b", "y")])
+    b = mk([("s3://a", "x"), ("s3://b", "z"), ("s3://c", "w")])
+    out = table_diff(a, b, key_col="path", text_col="text").to_pandas()
+    got = sorted(zip(out["key"], out["change"]))
+    assert got == [("s3://b", "modified"), ("s3://c", "added")]
