@@ -1832,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_group_sample_documents": q.per_group_sample_documents,
         "user_order_activity": q.user_order_activity,
         "profile_events": q.profile_events,
+        "profile_lineitem": q.profile_lineitem,
         "lineitem_constraint_violations": q.lineitem_constraint_violations,
         "lineitem_constraint_summary": q.lineitem_constraint_summary,
         "term_frequency_spectrum": q.term_frequency_spectrum,
@@ -2007,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "per_group_sample_documents": q.PER_GROUP_SAMPLE_SQL,
         "user_order_activity": q.USER_ORDER_ACTIVITY_SQL,
         "profile_events": q.PROFILE_EVENTS_SQL,
+        "profile_lineitem": q.PROFILE_LINEITEM_SQL,
         "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
         "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
         "term_frequency_spectrum": q.TERM_SPECTRUM_SQL,

@@ -3139,6 +3139,42 @@ FROM events"""
 PROFILE_EVENTS_SQL = _profile_events_sql()
 
 
+_PROFILE_LINEITEM_COLS = ["l_orderkey", "l_linenumber", "l_quantity",
+                          "l_returnflag", "l_shipdate"]
+
+
+def profile_lineitem(sf_dir: str):
+    """Second profiler instantiation — exercises int32 (l_linenumber),
+    double, string and timestamp columns on the widest driver table."""
+    from engine.checks.profile import profile_table
+
+    return profile_table(_read(sf_dir, "lineitem",
+                               columns=_PROFILE_LINEITEM_COLS),
+                         _PROFILE_LINEITEM_COLS)
+
+
+def _profile_lineitem_sql() -> str:
+    def block(col: str, minmax: str) -> str:
+        return f"""
+SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  {minmax.format(agg='MIN', col=col)} AS min_repr,
+  {minmax.format(agg='MAX', col=col)} AS max_repr
+FROM lineitem"""
+
+    as_str = "CAST({agg}({col}) AS VARCHAR)"
+    as_f6 = "printf('%.6f', {agg}({col}))"
+    as_epoch = "CAST(epoch_us({agg}({col})) AS VARCHAR)"
+    parts = [block("l_orderkey", as_str), block("l_linenumber", as_str),
+             block("l_quantity", as_f6), block("l_returnflag", as_str),
+             block("l_shipdate", as_epoch)]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+PROFILE_LINEITEM_SQL = _profile_lineitem_sql()
+
+
 def term_frequency_spectrum(sf_dir: str):
     """Corpus frequency spectrum (Zipf profile): how many distinct terms
     occur exactly k times.  Double aggregation — wordcount partials →

@@ -40,6 +40,7 @@ FAST_ORACLED = [
     "boilerplate_ngrams",
     "ipc_events_daily",
     "documents_diff",
+    "profile_lineitem",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
