@@ -1833,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_order_activity": q.user_order_activity,
         "profile_events": q.profile_events,
         "profile_lineitem": q.profile_lineitem,
+        "events_checks_report": q.events_checks_report,
         "lineitem_constraint_violations": q.lineitem_constraint_violations,
         "lineitem_constraint_summary": q.lineitem_constraint_summary,
         "term_frequency_spectrum": q.term_frequency_spectrum,
@@ -2009,6 +2010,7 @@ def oracle_sql() -> dict[str, str]:
         "user_order_activity": q.USER_ORDER_ACTIVITY_SQL,
         "profile_events": q.PROFILE_EVENTS_SQL,
         "profile_lineitem": q.PROFILE_LINEITEM_SQL,
+        "events_checks_report": q.EVENTS_CHECKS_SQL,
         "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
         "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
         "term_frequency_spectrum": q.TERM_SPECTRUM_SQL,

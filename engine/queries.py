@@ -3139,6 +3139,40 @@ FROM events"""
 PROFILE_EVENTS_SQL = _profile_events_sql()
 
 
+def events_checks_report(sf_dir: str):
+    """The pluggable check REGISTRY (engine/checks/registry.py — the
+    user-extension surface) run through the oracle gate: one streaming
+    pass executes row_counts + null_rates over events and the summary
+    becomes a typed report.  null_rate is k/n rounded to 6 places — exact
+    on a null-free corpus; a corpus with nulls at an exact .5e-6 boundary
+    would hit Python-vs-SQL rounding-mode differences (documented)."""
+    from engine.checks.registry import run_checks
+
+    res = run_checks(_read(sf_dir, "events"),
+                     ["row_counts", "null_rates"])
+    n_rows = int(res["row_counts"]["rows"])
+    cols = sorted(res["null_rates"])
+    return pa.table({
+        "col_name": pa.array(cols, pa.string()),
+        "n_rows": pa.array([n_rows] * len(cols), pa.int64()),
+        "null_rate": pa.array([float(res["null_rates"][c]) for c in cols],
+                              pa.float64()),
+    })
+
+
+def _events_checks_sql() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    parts = [f"""
+SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(CAST(COUNT(*) - COUNT({c}) AS DOUBLE)
+        / GREATEST(COUNT(*), 1), 6) AS null_rate
+FROM events""" for c in cols]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+EVENTS_CHECKS_SQL = _events_checks_sql()
+
+
 _PROFILE_LINEITEM_COLS = ["l_orderkey", "l_linenumber", "l_quantity",
                           "l_returnflag", "l_shipdate"]
 

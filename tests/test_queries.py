@@ -41,6 +41,7 @@ FAST_ORACLED = [
     "ipc_events_daily",
     "documents_diff",
     "profile_lineitem",
+    "events_checks_report",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
