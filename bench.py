@@ -121,6 +121,7 @@ QUERY_BENCH_NAMES = [
     # round-4 session 4: curation filters, profiler, constraint suite
     "decontaminate_documents", "profile_events",
     "lineitem_constraint_summary", "user_order_activity",
+    "documents_diff", "events_checks_report",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single
