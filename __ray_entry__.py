@@ -1834,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": q.profile_events,
         "profile_lineitem": q.profile_lineitem,
         "events_checks_report": q.events_checks_report,
+        "event_type_transitions": q.event_type_transitions,
         "lineitem_constraint_violations": q.lineitem_constraint_violations,
         "lineitem_constraint_summary": q.lineitem_constraint_summary,
         "term_frequency_spectrum": q.term_frequency_spectrum,
@@ -2011,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": q.PROFILE_EVENTS_SQL,
         "profile_lineitem": q.PROFILE_LINEITEM_SQL,
         "events_checks_report": q.EVENTS_CHECKS_SQL,
+        "event_type_transitions": q.EVENT_TRANSITIONS_SQL,
         "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
         "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
         "term_frequency_spectrum": q.TERM_SPECTRUM_SQL,

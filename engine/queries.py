@@ -2076,6 +2076,75 @@ def large_gap_events(sf_dir: str, gap_seconds: int = 3600):
         .sort(["user_id", "event_id"])
 
 
+def event_type_transitions(sf_dir: str):
+    """Behavioral bigrams: global counts of (prev_type -> next_type)
+    transitions within each user's ts-ordered event sequence — the
+    sequence-mining / Markov-chain input every event-log pipeline builds.
+
+    Same user-hash partition shuffle as the window family (each user's
+    history is complete inside one partition, so every transition is
+    local); per partition one vectorized lexsort + integer pair-encode +
+    bincount; the <=|types|^2 pair counts ride keyed_tree_reduce."""
+    import json as _json
+
+    from engine.stages import bucket_shuffle_partitions, keyed_tree_reduce
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "event_type"])
+
+    def transitions_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"state": pa.array([], pa.large_string())})
+        if group.num_rows < 2:
+            return empty
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        types = np.asarray(group.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((eid, tsv, uid))
+        uid, types = uid[order], types[order]
+        vocab, codes = np.unique(types, return_inverse=True)
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        k = len(vocab)
+        pair = codes[:-1][same] * k + codes[1:][same]
+        cnt = np.bincount(pair, minlength=k * k)
+        st = {f"{vocab[p // k]}\x1f{vocab[p % k]}": int(c)
+              for p, c in enumerate(cnt) if c}
+        return pa.table({"state": pa.array([_json.dumps(st)],
+                                           pa.large_string())})
+
+    partials = ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("part").map_groups(transitions_partition,
+                                    batch_format="pyarrow")
+    merged = keyed_tree_reduce(partials, lambda a, b: a + b)
+    keys = sorted(merged)
+    prev = [key.split("\x1f")[0] for key in keys]
+    nxt = [key.split("\x1f")[1] for key in keys]
+    return pa.table({
+        "prev_type": pa.array(prev, pa.string()),
+        "next_type": pa.array(nxt, pa.string()),
+        "n": pa.array([int(merged[key]) for key in keys], pa.int64()),
+    })
+
+
+EVENT_TRANSITIONS_SQL = r"""
+WITH w AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
 def user_range_window_events(sf_dir: str, range_seconds: int = 3600):
     """VALUE-RANGE framed window aggregate (RANGE BETWEEN INTERVAL 1 HOUR
     PRECEDING AND CURRENT ROW): per event, the count and integerized sum of

@@ -27,7 +27,8 @@ EMPTY_SAFE = ["distinct_users_by_type", "distinct_users_events",
               # CRASHED in the hash-join aggregator on empty input):
               "per_group_sample_documents", "profile_events",
               "lineitem_constraint_summary", "term_frequency_spectrum",
-              "boilerplate_ngrams", "user_order_activity"]
+              "boilerplate_ngrams", "user_order_activity",
+              "event_type_transitions"]
 
 
 @pytest.fixture(scope="module")

@@ -42,6 +42,7 @@ FAST_ORACLED = [
     "documents_diff",
     "profile_lineitem",
     "events_checks_report",
+    "event_type_transitions",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
