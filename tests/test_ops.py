@@ -1125,3 +1125,57 @@ def test_table_diff_string_keys(ray_session):
     out = table_diff(a, b, key_col="path", text_col="text").to_pandas()
     got = sorted(zip(out["key"], out["change"]))
     assert got == [("s3://b", "modified"), ("s3://c", "added")]
+
+
+def test_constraint_suite_hypothesis_vs_pandas():
+    """Property: every rule kind agrees with a pandas reference under
+    random data including NULLs (SQL-neutral NULL semantics)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engine.checks.constraints import ConstraintSuite
+
+    vals = st.lists(st.one_of(st.none(), st.integers(-5, 5)),
+                    min_size=1, max_size=25)
+
+    @settings(max_examples=120, deadline=None)
+    @given(vals, vals, st.integers(-5, 5), st.integers(-5, 5))
+    def check(xs, ys, thr, lo):
+        n = min(len(xs), len(ys))
+        xs, ys = xs[:n], ys[:n]
+        batch = pa.table({
+            "id": pa.array(range(n), pa.int64()),
+            "x": pa.array(xs, pa.int64()),
+            "y": pa.array(ys, pa.int64()),
+        })
+        hi = lo + 3
+        suite = ConstraintSuite([
+            {"name": "r_le", "kind": "le", "col": "x", "value": thr},
+            {"name": "r_gt", "kind": "gt", "col": "x", "value": thr},
+            {"name": "r_bet", "kind": "between", "col": "x",
+             "lo": lo, "hi": hi},
+            {"name": "r_set", "kind": "in_set", "col": "x",
+             "values": [lo, thr]},
+            {"name": "r_lec", "kind": "le_col", "col": "x", "other": "y"},
+            {"name": "r_nn", "kind": "not_null", "col": "x"},
+        ], key_cols=["id"])
+        v = suite.violations_batch(batch)
+        got = set(zip(v.column("id").to_pylist(),
+                      v.column("rule").to_pylist()))
+        want = set()
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if x is None:
+                want.add((i, "r_nn"))       # only not_null fires on NULL
+                continue
+            if not x <= thr: want.add((i, "r_le"))
+            if not x > thr: want.add((i, "r_gt"))
+            if not (lo <= x <= hi): want.add((i, "r_bet"))
+            if x not in (lo, thr): want.add((i, "r_set"))
+            if y is not None and not x <= y: want.add((i, "r_lec"))
+        assert got == want
+        s = suite.summary_partial(batch)
+        for rule in ("r_le", "r_gt", "r_bet", "r_set", "r_lec", "r_nn"):
+            assert s[rule] == [n, sum(1 for k, r in want if r == rule)]
+
+    check()
