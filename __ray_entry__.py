@@ -1835,6 +1835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": q.profile_lineitem,
         "events_checks_report": q.events_checks_report,
         "event_type_transitions": q.event_type_transitions,
+        "user_transition_diversity": q.user_transition_diversity,
+        "source_quality_report": q.source_quality_report,
         "lineitem_constraint_violations": q.lineitem_constraint_violations,
         "lineitem_constraint_summary": q.lineitem_constraint_summary,
         "term_frequency_spectrum": q.term_frequency_spectrum,
@@ -2013,6 +2015,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": q.PROFILE_LINEITEM_SQL,
         "events_checks_report": q.EVENTS_CHECKS_SQL,
         "event_type_transitions": q.EVENT_TRANSITIONS_SQL,
+        "user_transition_diversity": q.USER_TRANSITION_DIVERSITY_SQL,
+        "source_quality_report": q.SOURCE_QUALITY_SQL,
         "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
         "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
         "term_frequency_spectrum": q.TERM_SPECTRUM_SQL,

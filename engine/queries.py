@@ -2132,6 +2132,76 @@ def event_type_transitions(sf_dir: str):
     })
 
 
+def user_transition_diversity(sf_dir: str):
+    """Per-user behavioral diversity: total transitions vs DISTINCT
+    transition pairs used (low diversity over many events = scripted/bot
+    behavior — the standard sequence-entropy screen, integer-exact).
+    Same user-hash partition as the transition counts; per partition one
+    lexsort + per-user pair dedup, rows are one per user."""
+    from engine.stages import bucket_shuffle_partitions
+
+    n_parts = bucket_shuffle_partitions()
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "event_type"])
+
+    def diversity_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_transitions": pa.array([], pa.int64()),
+            "distinct_transitions": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        uid = group.column("user_id").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        tsv = group.column("ts").to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        types = np.asarray(group.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((eid, tsv, uid))
+        uid, types = uid[order], types[order]
+        _, codes = np.unique(types, return_inverse=True)
+        k = codes.max() + 1 if codes.size else 1
+        same = uid[1:] == uid[:-1]
+        users, counts, distincts = [], [], []
+        # triple (user, pair) dedup vectorized: unique over composite key
+        pair_user = uid[1:][same]
+        pair_code = codes[:-1][same] * k + codes[1:][same]
+        if pair_user.size:
+            u_all, n_all = np.unique(pair_user, return_counts=True)
+            composite = pair_user * np.int64(k * k) + pair_code
+            uniq_users = np.unique(composite) // np.int64(k * k)
+            u_d, n_d = np.unique(uniq_users, return_counts=True)
+            assert (u_all == u_d).all()
+            users, counts, distincts = u_all, n_all, n_d
+        return pa.table({
+            "user_id": pa.array(np.asarray(users, dtype=np.int64)),
+            "n_transitions": pa.array(np.asarray(counts, dtype=np.int64)),
+            "distinct_transitions": pa.array(
+                np.asarray(distincts, dtype=np.int64)),
+        })
+
+    return ds.map_batches(_user_part_fn(n_parts), batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("part").map_groups(diversity_partition,
+                                    batch_format="pyarrow") \
+        .sort("user_id")
+
+
+USER_TRANSITION_DIVERSITY_SQL = r"""
+WITH w AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+  CAST(COUNT(DISTINCT (prev_type, event_type)) AS BIGINT)
+    AS distinct_transitions
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 EVENT_TRANSITIONS_SQL = r"""
 WITH w AS (
   SELECT user_id, event_type,
@@ -3014,6 +3084,60 @@ SELECT d.doc_id,
   CASE WHEN COALESCE(per.n, 0) = 0 THEN 0.0
        ELSE CAST(per.oov AS DOUBLE) / per.n END AS oov_rate
 FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def source_quality_report(sf_dir: str):
+    """Per-SOURCE corpus report (the provenance axis: which feed is
+    sending short/empty documents): doc counts + exact token/char sums +
+    single-division means, partials keyed by source through
+    keyed_tree_reduce — the provenance column never shuffles raw rows."""
+    import json as _json
+
+    from engine.ops.text import TOKEN_RE
+    from engine.stages import keyed_tree_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st: dict[str, list[int]] = {}
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for s, t in zip(srcs, texts):
+            t = t or ""
+            cur = st.setdefault(s or "", [0, 0, 0])
+            cur[0] += 1
+            cur[1] += len(TOKEN_RE.findall(t))
+            cur[2] += len(t)
+        return pa.table({"state": pa.array([_json.dumps(st)],
+                                           pa.large_string())})
+
+    merged = keyed_tree_reduce(
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda a, b: [a[0] + b[0], a[1] + b[1], a[2] + b[2]])
+    srcs = sorted(merged)
+    n = np.array([merged[s][0] for s in srcs], dtype=np.int64)
+    tok = np.array([merged[s][1] for s in srcs], dtype=np.int64)
+    ch = np.array([merged[s][2] for s in srcs], dtype=np.int64)
+    from engine.ops.text import safe_frac
+
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(n), "sum_tokens": pa.array(tok),
+        "sum_chars": pa.array(ch),
+        "mean_tokens": pa.array(safe_frac(tok, n)),
+        "mean_chars": pa.array(safe_frac(ch, n)),
+    })
+
+
+SOURCE_QUALITY_SQL = r"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '[^\t\n\f\r ]+'))) AS BIGINT)
+    AS sum_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+  CAST(SUM(len(regexp_extract_all(text, '[^\t\n\f\r ]+'))) AS DOUBLE)
+    / COUNT(*) AS mean_tokens,
+  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM documents GROUP BY source ORDER BY source
 """
 
 

@@ -43,6 +43,8 @@ FAST_ORACLED = [
     "profile_lineitem",
     "events_checks_report",
     "event_type_transitions",
+    "user_transition_diversity",
+    "source_quality_report",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
