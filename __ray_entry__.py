@@ -1837,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": q.event_type_transitions,
         "user_transition_diversity": q.user_transition_diversity,
         "source_quality_report": q.source_quality_report,
+        "quantity_histogram": q.quantity_histogram,
         "lineitem_constraint_violations": q.lineitem_constraint_violations,
         "lineitem_constraint_summary": q.lineitem_constraint_summary,
         "term_frequency_spectrum": q.term_frequency_spectrum,
@@ -2017,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_transitions": q.EVENT_TRANSITIONS_SQL,
         "user_transition_diversity": q.USER_TRANSITION_DIVERSITY_SQL,
         "source_quality_report": q.SOURCE_QUALITY_SQL,
+        "quantity_histogram": q.QUANTITY_HIST_SQL,
         "lineitem_constraint_violations": q.LINEITEM_VIOLATIONS_SQL,
         "lineitem_constraint_summary": q.LINEITEM_SUMMARY_SQL,
         "term_frequency_spectrum": q.TERM_SPECTRUM_SQL,

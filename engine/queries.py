@@ -3087,6 +3087,54 @@ FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
 """
 
 
+QUANTITY_HIST_EDGES = np.arange(0.0, 51.0, 5.0)   # 11 edges, 10 interior bins
+
+
+def quantity_histogram(sf_dir: str):
+    """User-facing fixed-bin histogram of l_quantity through the SAME
+    mergeable Histogram sketch the drift checks ride
+    (engine/checks/sketches.py:345) — per-batch partials, keyed tree
+    merge, all 12 bins (under/overflow included) in the typed report.
+    Ties the sketch's np.histogram bin convention (right-closed, last
+    edge inclusive) to the DuckDB oracle."""
+    import json as _json
+
+    from engine.checks.sketches import Histogram
+    from engine.stages import keyed_tree_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = Histogram(QUANTITY_HIST_EDGES)
+        h.update(batch.column("l_quantity").to_numpy())
+        st = {str(i): int(c) for i, c in enumerate(h.counts) if c}
+        return pa.table({"state": pa.array([_json.dumps(st)],
+                                           pa.large_string())})
+
+    merged = keyed_tree_reduce(
+        _read(sf_dir, "lineitem", columns=["l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda a, b: a + b)
+    n_bins = QUANTITY_HIST_EDGES.size + 1
+    return pa.table({
+        "bin": pa.array(range(n_bins), pa.int64()),
+        "n": pa.array([int(merged.get(str(i), 0)) for i in range(n_bins)],
+                      pa.int64()),
+    })
+
+
+QUANTITY_HIST_SQL = r"""
+WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(12)),
+assigned AS (
+  SELECT CASE WHEN l_quantity < 0 THEN 0
+              WHEN l_quantity > 50 THEN 11
+              WHEN l_quantity = 50 THEN 10
+              ELSE CAST(FLOOR(l_quantity / 5) AS BIGINT) + 1 END AS bin
+  FROM lineitem
+), c AS (SELECT bin, COUNT(*) AS n FROM assigned GROUP BY bin)
+SELECT bins.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM bins LEFT JOIN c USING (bin) ORDER BY bins.bin
+"""
+
+
 def source_quality_report(sf_dir: str):
     """Per-SOURCE corpus report (the provenance axis: which feed is
     sending short/empty documents): doc counts + exact token/char sums +

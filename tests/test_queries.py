@@ -45,6 +45,7 @@ FAST_ORACLED = [
     "event_type_transitions",
     "user_transition_diversity",
     "source_quality_report",
+    "quantity_histogram",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
