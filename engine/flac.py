@@ -551,7 +551,11 @@ def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
     rd = _BitReader(bits)
     out: list[np.ndarray] = []
     decoded = 0
-    while decoded < total:
+    # RFC 9639 §8.2: STREAMINFO total_samples == 0 means UNKNOWN, not empty
+    # (streamed encodes). Decode frames until the byte-aligned reader hits
+    # end-of-data; any trailing garbage still fails the sync check / CRCs.
+    unknown_total = total == 0
+    while decoded < total or (unknown_total and rd.pos < bits.size):
         frame_start_bit = rd.pos
         if rd.read_uint(14) != _SYNC:
             raise AudioDecodeError("flac: lost frame sync")
@@ -618,8 +622,12 @@ def decode_flac(raw: bytes) -> tuple[np.ndarray, int]:
         out.append(samples.astype(np.int16))
         decoded += samples.shape[0]
     empty_shape = (0,) if channels == 1 else (0, 2)
-    pcm = (np.concatenate(out)[:total] if out
-           else np.zeros(empty_shape, dtype=np.int16))
+    if out:
+        pcm = np.concatenate(out)
+        if not unknown_total:
+            pcm = pcm[:total]
+    else:
+        pcm = np.zeros(empty_shape, dtype=np.int16)
     if md5_expect and md5_expect != b"\x00" * 16:
         # MD5 covers the interleaved little-endian stream (C-order tobytes
         # of (n, 2) is exactly L0 R0 L1 R1 ...).

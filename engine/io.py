@@ -80,9 +80,12 @@ class AudioShardSink:
         ids = batch.column(self.id_col).to_pylist()
         blobs = batch.column(self.bytes_col)
         codecs = batch.column(self.codec_col).to_pylist()
+        # Digest EVERY clip id: (first, last, count) collides for two
+        # batches whose interiors differ after a reshuffle, silently
+        # overwriting each other's shard and corrupting earlier offsets.
         digest = hashlib.sha1(
-            ("\x1f".join([str(ids[0]), str(ids[-1]), str(len(ids))])
-             ).encode()).hexdigest()[:16] if ids else "empty"
+            ("\x1f".join(str(x) for x in ids)).encode()
+        ).hexdigest()[:16] if ids else "empty"
         shard_name = f"shard-{digest}.flacpack"
         shard_path = os.path.join(self.out_dir, shard_name)
         pieces: list[bytes] = []

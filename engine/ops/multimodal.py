@@ -1,12 +1,16 @@
 """Multimodal column operators (binary payloads + typed metadata).
 
-The audio path is fully real (this repo's WAV codecs).  The image path is
-real for PNG (baseline, stdlib-zlib inflate + full filter set) and
-PPM/PGM/BMP/TGA (pure-numpy codecs, engine/image.py); JPEG and real video
-containers are STUBBED behind ``NotImplementedError`` — those codec
-libraries are not in this container — with the Ray-side plumbing (schema,
-actor-pool signature, batch sizing, output layout) real and tested so
-swapping in Pillow / PyAV later is a one-class change.
+The audio path is fully real (this repo's WAV/G.711/ADPCM/FLAC codecs).
+The image path is real for PNG (baseline, stdlib-zlib inflate + full
+filter set), JPEG (baseline DCT decoder, engine/jpeg.py — dispatched via
+engine/image.py ``decode_image`` and exercised by ``JpegCheckStage`` /
+the ``jpeg_image_metadata`` oracle), GIF, and PPM/PGM/BMP/TGA (pure-numpy
+codecs, engine/image.py).  Only real video CONTAINERS (MP4/WebM demux)
+remain STUBBED behind ``NotImplementedError`` — those codec libraries are
+not in this container — with the Ray-side plumbing (schema, actor-pool
+signature, batch sizing, output layout) real and tested so swapping in
+PyAV later is a one-class change; the PPMV frame format used by
+``video_frame_sample`` is real.
 """
 
 from __future__ import annotations

@@ -512,17 +512,27 @@ class DecontaminationStage:
 def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,
                        candidate_factor: int = 4,
                        text_col: str = "text"):
-    """Exact top-k most frequent terms via a two-pass heavy-hitter sketch.
+    """Exact top-k most frequent terms via a two-pass heavy-hitter sketch,
+    with a VERIFIED exactness certificate.
 
     Pass 1 streams one Misra-Gries partial state per batch (bounded:
-    ``capacity`` pairs each) through the bounded tree reduction; the merged
-    summary guarantees every term with frequency > n/(capacity+1) survives,
-    so for k << capacity the true top-k are inside the top
-    ``candidate_factor * k`` lower-bound candidates.  Pass 2 broadcasts the
-    candidate set and EXACT-counts only those terms (keyed tree reduce of
-    per-batch counts), so the output is exact and hash-matches a plain SQL
-    GROUP BY / ORDER BY / LIMIT oracle — the sketch buys two cheap scans
-    instead of a full-vocabulary term shuffle.
+    ``capacity`` pairs each) through the bounded tree reduction.  Pass 2
+    broadcasts the merged summary's term set (≤ ``capacity`` terms) and
+    EXACT-counts only those terms (keyed tree reduce of per-batch counts).
+
+    Exactness is not assumed — it is checked: with N total tokens and S
+    the sum of the merged summary's counters, any term ABSENT from the
+    summary has true count ≤ (N - S)/(capacity + 1) (mergeable Misra-Gries
+    bound, Agarwal et al. PODS 2012).  If the k-th exact candidate count
+    strictly exceeds that bound, no absent term can displace the returned
+    top-k and the result is provably exact.  When the distribution is too
+    flat to separate (k-th count within the bound), this falls back to a
+    full-vocabulary exact count — correct but a full-vocab exchange, so
+    the sketch path is the scale path and the fallback is the safety net.
+
+    ``candidate_factor`` is retained for signature compatibility; the
+    exact pass now always counts the full summary (the factor*k cut could
+    silently exclude an in-summary term whose true count reaches top-k).
 
     Ties order (count DESC, term ASC).  Returns a pyarrow Table
     (term: string, cnt: int64) with an explicit schema.
@@ -537,21 +547,26 @@ def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,
 
     def mg_partial(batch: pa.Table) -> pa.Table:
         mg = MisraGries(capacity)
+        n_tokens = 0
         for t in batch.column(text_col).to_pylist():
             words = TOKEN_RE.findall(t or "")
             if not words:
                 continue
+            n_tokens += len(words)
             vals, cnts = np.unique(np.asarray(words, dtype=object),
                                    return_counts=True)
             mg.update([str(v) for v in vals], cnts)
-        return pa.table({"state": pa.array([_json.dumps(mg.state())],
+        state = {"mg": mg.state(), "n": n_tokens}
+        return pa.table({"state": pa.array([_json.dumps(state)],
                                            pa.large_string())})
 
     def mg_combine(states: list[dict]) -> dict:
-        merged = MisraGries.from_state(states[0])
+        merged = MisraGries.from_state(states[0]["mg"])
+        n = states[0]["n"]
         for s in states[1:]:
-            merged.merge(MisraGries.from_state(s))
-        return merged.state()
+            merged.merge(MisraGries.from_state(s["mg"]))
+            n += s["n"]
+        return {"mg": merged.state(), "n": n}
 
     partials = docs_ds.map_batches(mg_partial, batch_format="pyarrow",
                                    zero_copy_batch=True)
@@ -559,25 +574,37 @@ def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,
     if final_state is None:
         return pa.table({"term": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
-    cand = set(MisraGries.from_state(final_state)
-               .candidates(candidate_factor * k))
-    cand_ref = ray.put(cand)
+    summary = MisraGries.from_state(final_state["mg"])
+    n_total = int(final_state["n"])
+    s_total = sum(summary.counts.values())
 
-    def exact_partial(batch: pa.Table) -> pa.Table:
-        cset = _broadcast_from_ref(cand_ref)
-        st: dict[str, int] = {}
-        for t in batch.column(text_col).to_pylist():
-            for w in TOKEN_RE.findall(t or ""):
-                if w in cset:
-                    st[w] = st.get(w, 0) + 1
-        return pa.table({"state": pa.array([_json.dumps(st)],
-                                           pa.large_string())})
+    def count_terms(cand_ref) -> dict[str, int]:
+        def exact_partial(batch: pa.Table) -> pa.Table:
+            cset = (_broadcast_from_ref(cand_ref)
+                    if cand_ref is not None else None)
+            st: dict[str, int] = {}
+            for t in batch.column(text_col).to_pylist():
+                for w in TOKEN_RE.findall(t or ""):
+                    if cset is None or w in cset:
+                        st[w] = st.get(w, 0) + 1
+            return pa.table({"state": pa.array([_json.dumps(st)],
+                                               pa.large_string())})
 
-    exact = keyed_tree_reduce(
-        docs_ds.map_batches(exact_partial, batch_format="pyarrow",
-                            zero_copy_batch=True),
-        lambda a, b: a + b)
+        return keyed_tree_reduce(
+            docs_ds.map_batches(exact_partial, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            lambda a, b: a + b)
+
+    exact = count_terms(ray.put(set(summary.counts)))
     top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # Certificate: absent terms have true count ≤ (N - S)/(capacity + 1);
+    # integer-exact form of kth > bound.  A short result (< k rows) can
+    # also be displaced by an absent term, so it must pass the same gate.
+    kth = top[-1][1] if len(top) == k else 0
+    lost = n_total - s_total                # decrement mass; 0 ⇒ summary complete
+    if lost > 0 and kth * (summary.capacity + 1) <= lost:
+        exact = count_terms(None)           # full-vocab fallback, exact
+        top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return pa.table({
         "term": pa.array([t for t, _ in top], pa.string()),
         "cnt": pa.array([c for _, c in top], pa.int64()),

@@ -413,6 +413,29 @@ def test_with_row_number_matches_lexsort(ray_session):
     assert with_row_number(empty, ["v"]).count() == 0
 
 
+def test_with_row_number_rejects_null_and_nan_keys(ray_session):
+    """NULL (and NaN) sort-key values have no total order the driver-side
+    offset sort can reproduce — the operator must raise loudly, naming the
+    column, instead of crashing on None-vs-str compares or mis-numbering."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from engine.stages import with_row_number
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["b", None, "a", "c"], pa.string()),
+        "id": pa.array([1, 2, 3, 4], pa.int64())})).repartition(2)
+    with pytest.raises(ValueError, match="'k'.*NULL/NaN"):
+        with_row_number(ds, ["k", "id"])
+
+    nan_ds = ray.data.from_arrow(pa.table({
+        "v": pa.array([1.0, float("nan"), 2.0], pa.float64()),
+        "id": pa.array([1, 2, 3], pa.int64())})).repartition(2)
+    with pytest.raises(ValueError, match="'v'.*NULL/NaN"):
+        with_row_number(nan_ds, ["v", "id"])
+
+
 def test_ntile_exact_sizes_small_n(ray_session, tmp_path):
     """NTILE tile sizes on n % k != 0: first n%k tiles get the extra row
     (SQL rule), including the n < k edge."""

@@ -356,3 +356,33 @@ def test_flac_stereo_feature_stage_rejects_mono_and_garbage():
     })
     out = FlacStereoFeatureStage()(batch).to_pandas()
     assert not out.decode_ok.any()
+
+
+def _zero_total_samples(raw: bytes) -> bytes:
+    """Patch STREAMINFO total_samples (bits 108..144 of the body) to 0 —
+    RFC 9639's 'unknown' marker, as written by streaming encoders."""
+    assert raw[:4] == b"fLaC"
+    body_at = 8                       # fLaC + 4-byte first metadata header
+    b = bytearray(raw)
+    b[body_at + 13] &= 0xF0
+    b[body_at + 14:body_at + 18] = b"\x00" * 4
+    return bytes(b)
+
+
+def test_unknown_total_samples_decodes_full_stream():
+    rng = np.random.default_rng(7)
+    for pcm in (
+        rng.integers(-300, 300, 12_345).astype(np.int16),            # mono
+        rng.integers(-300, 300, (9_001, 2)).astype(np.int16),        # stereo
+    ):
+        raw = _zero_total_samples(encode_flac(pcm, 16_000))
+        got, sr = decode_flac(raw)
+        assert sr == 16_000
+        np.testing.assert_array_equal(got, pcm)
+
+
+def test_unknown_total_with_trailing_garbage_raises():
+    pcm = np.arange(4_000, dtype=np.int16)
+    raw = _zero_total_samples(encode_flac(pcm, 16_000)) + b"\x00garbage"
+    with pytest.raises(AudioDecodeError):
+        decode_flac(raw)

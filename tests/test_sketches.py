@@ -138,6 +138,35 @@ def test_heavy_hitter_terms_matches_exact(ray_session):
     assert out.num_rows == 0 and out.schema.field("cnt").type == pa.int64()
 
 
+def test_heavy_hitter_terms_flat_distribution_falls_back_exact(ray_session):
+    """Near-flat frequencies (vocab >> capacity, counts within the MG error
+    bound) defeat the sketch's separability certificate — the operator must
+    detect that and still return the EXACT top-k via the full-vocab path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from engine.ops.text import TOKEN_RE, heavy_hitter_terms
+
+    rng = np.random.default_rng(11)
+    # 600 terms, each appearing 5 or 6 times — far more terms than capacity,
+    # top-k count (6) nowhere near n/(capacity+1) ≈ 3300/17.
+    terms = [f"t{j:03d}" for j in range(600)]
+    bag = [t for t in terms for _ in range(5)]
+    bag += [f"t{j:03d}" for j in rng.choice(600, 300, replace=False)]
+    rng.shuffle(bag)
+    docs = [" ".join(bag[i:i + 40]) for i in range(0, len(bag), 40)]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})).repartition(6)
+
+    got = heavy_hitter_terms(ds, k=10, capacity=16)
+    true = Counter(w for d in docs for w in TOKEN_RE.findall(d))
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.column("term").to_pylist(),
+                    got.column("cnt").to_pylist())) == want
+
+
 def test_divergence_metrics_known_values_and_bounds():
     """JSD / chi2 / Wasserstein / TV: hand-computed small cases plus the
     standard bounds (JSD <= ln 2, TV in [0,1], W1 = sum |CDF gap|)."""
