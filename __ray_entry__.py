@@ -1828,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_documents": q.quality_scores_documents,
         "repetition_stats_documents": q.repetition_stats_documents,
         "decontaminate_documents": q.decontaminate_documents,
+        "decontaminate_documents_bloom": q.decontaminate_documents_bloom,
         "vocab_coverage_documents": q.vocab_coverage_documents,
         "per_group_sample_documents": q.per_group_sample_documents,
         "user_order_activity": q.user_order_activity,
@@ -1934,7 +1935,7 @@ _ORACLE_PRIORITY = [
     # round-4 session-4 new-family representatives (rotated in for the
     # 5 redundant siblings above; those stay green in tests/test_queries.py
     # FAST_ORACLED and the full tools/check_oracles.py gate):
-    "repetition_stats_documents", "decontaminate_documents",
+    "repetition_stats_documents", "decontaminate_documents_bloom",
     "profile_events", "lineitem_constraint_violations",
     "user_order_activity",
 ]
@@ -2016,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": q.QUALITY_SCORES_SQL,
         "repetition_stats_documents": q.REPETITION_STATS_SQL,
         "decontaminate_documents": q.DECONTAMINATE_SQL,
+        "decontaminate_documents_bloom": q.DECONTAMINATE_SQL,
         "vocab_coverage_documents": q.VOCAB_COVERAGE_SQL,
         "per_group_sample_documents": q.PER_GROUP_SAMPLE_SQL,
         "user_order_activity": q.USER_ORDER_ACTIVITY_SQL,

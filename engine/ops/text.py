@@ -438,8 +438,9 @@ def top_terms_per_doc(ds, *, k: int = 3, text_col: str = "text",
 # MBs not TBs), so its distinct-shingle set is collected once and broadcast
 # via ``ray.put``; the training side stays a stateless linear scan — the
 # same broadcast-small-side shape as the Bloom FK check (engine/stages.py).
-# At true scale the exact string set swaps for a Bloom filter of shingle
-# hashes behind the same stage seam (one-class change, like the codecs).
+# Past the broadcast gate, ``collect_shingle_bloom`` + the
+# ``BloomDecontaminationStage`` swap the exact string set for an OR-merged
+# Bloom bitset of the shingles (same output schema, same SQL oracle).
 
 DECONTAM_MAX_SHINGLES = 5_000_000  # broadcast gate: ~64 B/shingle ≈ 320 MB
 
@@ -468,8 +469,8 @@ def collect_shingle_set(bench_ds, *, width: int = 3,
         if len(shingles) > DECONTAM_MAX_SHINGLES:
             raise ValueError(
                 f"benchmark shingle set exceeds the broadcast gate "
-                f"({DECONTAM_MAX_SHINGLES}); use a Bloom-filter stage for "
-                f"benchmark sides this large")
+                f"({DECONTAM_MAX_SHINGLES}); use collect_shingle_bloom + "
+                f"BloomDecontaminationStage for benchmark sides this large")
     return shingles
 
 
@@ -501,6 +502,112 @@ class DecontaminationStage:
                   for j in range(len(toks) - w + 1)}
             total[i] = len(sh)
             matched[i] = sum(1 for g in sh if g in bench)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "doc_shingles": pa.array(total),
+            "matched_shingles": pa.array(matched),
+            "contaminated": pa.array((matched > 0).astype(np.int64)),
+        })
+
+
+def collect_shingle_bloom(bench_ds, *, width: int = 3,
+                          text_col: str = "text",
+                          fp_rate: float = 1e-7) -> dict:
+    """Distributed Bloom-filter build over the benchmark shingle set — the
+    scale path named by ``collect_shingle_set``'s broadcast-gate error.
+
+    Two bounded passes: pass 1 counts shingle OCCURRENCES per batch (an
+    upper bound on distinct shingles — only over-sizes the filter, never
+    under-sizes it); pass 2 builds per-batch partial filters of that one
+    shared geometry and OR-merges them through the bounded tree reduction,
+    so the driver receives a single bitset and never a string set.  Cost:
+    n·ln(1/p)/ln(2)² bits ≈ 4.2 MB per 10⁶ shingles at p=1e-7 — a 10⁹-
+    shingle benchmark side broadcasts as ~4 GB of bits where the exact set
+    would need hundreds of GB of strings.
+
+    False positives only ever mark EXTRA shingles as matched — conservative
+    for decontamination (a truly contaminated document is never missed).
+    Returns the filter state dict (``BloomFilter.from_state`` to probe).
+    """
+    import json as _json
+
+    from engine.checks.sketches import BloomFilter
+    from engine.stages import tree_reduce_states
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        n = 0
+        for t in batch.column(text_col).to_pylist():
+            n += max(0, len(TOKEN_RE.findall(t or "")) - width + 1)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    counted = bench_ds.map_batches(count_batch, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    capacity = sum(b.column("n").to_numpy().sum() for b in
+                   counted.iter_batches(batch_format="pyarrow"))
+    capacity = int(max(capacity, 1024))
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        sh: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            sh.update(" ".join(toks[j:j + width])
+                      for j in range(len(toks) - width + 1))
+        if sh:
+            bf.add(np.asarray(sorted(sh), dtype=object))
+        return pa.table({"state": pa.array([_json.dumps(bf.state())],
+                                           pa.large_string())})
+
+    def combine(states: list[dict]) -> dict:
+        merged = None
+        for st in states:
+            bf = BloomFilter.from_state(st)
+            merged = bf if merged is None else merged.merge(bf)
+        return merged.state()
+
+    state = tree_reduce_states(
+        bench_ds.map_batches(partial_bloom, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        combine, fan_in=16, driver_threshold=16)
+    if state is None:                      # empty benchmark side
+        return BloomFilter(1024, fp_rate).state()
+    return state
+
+
+class BloomDecontaminationStage:
+    """Per-row shingle overlap against a broadcast Bloom filter of the
+    benchmark shingle set — same output schema as ``DecontaminationStage``
+    (doc_id, doc_shingles, matched_shingles, contaminated) so the two share
+    one SQL oracle; matched counts are exact up to the filter's false-
+    positive rate (probes are deterministic for a fixed filter, and the
+    FPR is sized so the expected corpus-wide FP count is ≪ 1)."""
+
+    def __init__(self, bloom_ref, *, width: int = 3,
+                 text_col: str = "text") -> None:
+        self.bloom_ref = bloom_ref
+        self.width = width
+        self.text_col = text_col
+        self._bf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.checks.sketches import BloomFilter
+        from engine.stages import _broadcast_from_ref
+
+        if self._bf is None:
+            self._bf = BloomFilter.from_state(
+                _broadcast_from_ref(self.bloom_ref))
+        n = len(batch)
+        total = np.zeros(n, dtype=np.int64)
+        matched = np.zeros(n, dtype=np.int64)
+        w = self.width
+        for i, t in enumerate(batch.column(self.text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            sh = {" ".join(toks[j:j + w])
+                  for j in range(len(toks) - w + 1)}
+            total[i] = len(sh)
+            if sh:
+                matched[i] = int(self._bf.contains(
+                    np.asarray(sorted(sh), dtype=object)).sum())
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "doc_shingles": pa.array(total),

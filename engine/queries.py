@@ -3002,6 +3002,38 @@ def decontaminate_documents(sf_dir: str):
         .sort("doc_id")
 
 
+def decontaminate_documents_bloom(sf_dir: str):
+    """Benchmark decontamination via the BLOOM scale path: the benchmark
+    shingle set is OR-merged into one Bloom bitset in the workers
+    (engine/ops/text.py:collect_shingle_bloom) instead of broadcast as
+    strings — the shape that survives benchmark sides past the
+    DECONTAM_MAX_SHINGLES gate.  FPR is sized (1e-9) so the expected
+    false-positive count over the corpus' probe set is ≪ 1; probes are
+    deterministic, so the result hash-matches the SAME exact SQL oracle as
+    decontaminate_documents (verified at sf0.001/0.01/0.1)."""
+    import ray
+
+    from engine.ops.text import BloomDecontaminationStage, collect_shingle_bloom
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table, keep_bench: bool) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % DECONTAM_BENCH_MOD) == 0
+        return t.filter(pa.array(mask if keep_bench else ~mask))
+
+    bench = docs.map_batches(
+        lambda t: split(t, True),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bloom_ref = ray.put(collect_shingle_bloom(
+        bench, width=DECONTAM_WIDTH, fp_rate=1e-9))
+    return docs.map_batches(
+        lambda t: split(t, False),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(BloomDecontaminationStage(bloom_ref, width=DECONTAM_WIDTH),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")
+
+
 DECONTAMINATE_SQL = r"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS toks

@@ -983,6 +983,66 @@ def test_decontamination_broadcast_gate(ray_session, monkeypatch):
         text_mod.collect_shingle_set(bench, width=3)
 
 
+def test_bloom_decontamination_matches_exact_past_gate(ray_session, monkeypatch):
+    """The Bloom scale path must produce the SAME table as the exact
+    broadcast stage on a corpus whose benchmark side is PAST the broadcast
+    gate (monkeypatched tiny, so collect_shingle_set refuses it)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from engine.ops import text as text_mod
+    from engine.ops.text import (BloomDecontaminationStage,
+                                 DecontaminationStage,
+                                 collect_shingle_bloom, collect_shingle_set)
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{j}" for j in range(200)]
+    bench_docs = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(bench_docs, pa.string())})).repartition(4)
+
+    monkeypatch.setattr(text_mod, "DECONTAM_MAX_SHINGLES", 10)
+    with pytest.raises(ValueError, match="collect_shingle_bloom"):
+        collect_shingle_set(bench, width=3)
+    bloom_state = collect_shingle_bloom(bench, width=3, fp_rate=1e-9)
+
+    # eval side: half contaminated (verbatim bench windows), half clean
+    eval_texts = [bench_docs[i][:60] for i in range(10)] + \
+        [" ".join(rng.choice([f"z{j}" for j in range(300)], 25))
+         for _ in range(10)]
+    eval_batch = pa.table({
+        "doc_id": pa.array(range(100, 120), pa.int64()),
+        "text": pa.array(eval_texts, pa.string())})
+
+    got = BloomDecontaminationStage(ray.put(bloom_state), width=3)(eval_batch)
+    monkeypatch.setattr(text_mod, "DECONTAM_MAX_SHINGLES", 5_000_000)
+    exact_set = collect_shingle_set(bench, width=3)
+    want = DecontaminationStage(ray.put(exact_set), width=3)(eval_batch)
+    assert got.equals(want)
+    assert sum(want.column("contaminated").to_pylist()) == 10
+
+
+def test_bloom_fpr_within_bound():
+    """Measured false-positive rate of the shared BloomFilter stays within
+    3x the design rate (double-hashing degradation margin) at 1e-3/1e-4."""
+    import numpy as np
+
+    from engine.checks.sketches import BloomFilter
+
+    rng = np.random.default_rng(9)
+    members = np.asarray([f"in-{i}-{rng.integers(1 << 30)}"
+                          for i in range(50_000)], dtype=object)
+    probes = np.asarray([f"out-{i}" for i in range(200_000)], dtype=object)
+    for p in (1e-3, 1e-4):
+        bf = BloomFilter(50_000, p)
+        bf.add(members)
+        fp = bf.contains(probes).sum() / probes.size
+        assert fp <= 3 * p, (p, fp)
+    assert BloomFilter(50_000, 1e-3).contains(probes).sum() == 0
+
+
 def test_profile_table_nulls_and_types(ray_session, tmp_path):
     """profile_table on a crafted table with NULLs, an all-null column slice,
     and every supported kind — the driver corpus is null-free, so this is

@@ -27,6 +27,7 @@ FAST_ORACLED = [
     "user_range_window_events",
     "repetition_stats_documents",
     "decontaminate_documents",
+    "decontaminate_documents_bloom",
     "vocab_coverage_documents",
     "per_group_sample_documents",
     "user_order_activity",
