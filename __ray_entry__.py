@@ -1890,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _embedding_near_dup,
         "hll_distinct_users": _hll_distinct_users,
         "hll_users_by_type": q.hll_users_by_type,
+        "profile_events_approx": q.profile_events_approx,
         "tdigest_quantity": _tdigest_quantity,
         "drift_clips": _drift_clips,
         "codec_duration_quantiles": _codec_duration_quantiles,

@@ -3390,6 +3390,20 @@ def profile_events(sf_dir: str):
         ["event_id", "ts", "user_id", "event_type", "value", "props"])
 
 
+def profile_events_approx(sf_dir: str):
+    """The 100-TB profiler shape instantiated: ONE streaming pass, HLL
+    register sketches instead of the exact-distinct (column, value)
+    exchange (engine/checks/profile.py:profile_table_approx).  Rows-only
+    in the driver gate (the distinct counts are approximate); the relative
+    error vs PROFILE_EVENTS_SQL's exact counts is gated ≤ 2% in
+    tests/test_ops.py::test_profile_events_approx_close_to_exact."""
+    from engine.checks.profile import profile_table_approx
+
+    return profile_table_approx(
+        _read(sf_dir, "events"),
+        ["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
 def _profile_events_sql() -> str:
     def block(col: str, minmax: str) -> str:
         return f"""

@@ -1043,6 +1043,28 @@ def test_bloom_fpr_within_bound():
     assert BloomFilter(50_000, 1e-3).contains(probes).sum() == 0
 
 
+def test_profile_events_approx_close_to_exact(ray_session):
+    """The one-pass HLL profiler must agree with the exact profiler on
+    everything except distinct counts, and its approximate distincts must
+    land within 2% relative error column-by-column (p=14 ⇒ ~0.8% SE)."""
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    approx = entrymod.queries()["profile_events_approx"](sf).to_pandas()
+    exact = entrymod.queries()["profile_events"](sf)
+    exact = exact.to_pandas() if hasattr(exact, "to_pandas") else exact
+
+    a = approx.set_index("col_name")
+    e = exact.set_index("col_name")
+    assert list(a.index) == list(e.index)
+    for col in ("n_rows", "n_nulls", "min_repr", "max_repr"):
+        assert a[col].tolist() == e[col].tolist(), col
+    for c in a.index:
+        want = e.loc[c, "n_distinct"]
+        got = a.loc[c, "n_distinct_approx"]
+        assert abs(got - want) <= max(0.02 * want, 1), (c, got, want)
+
+
 def test_profile_table_nulls_and_types(ray_session, tmp_path):
     """profile_table on a crafted table with NULLs, an all-null column slice,
     and every supported kind — the driver corpus is null-free, so this is
