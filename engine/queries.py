@@ -52,35 +52,40 @@ def q1_pricing_summary(sf_dir: str):
                columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        # Loud guard: NaN.astype(int64) is INT64_MIN and pandas groupby drops
-        # null keys — silent corruption vs SQL null semantics.  This corpus
-        # is null-free by contract; refuse rather than corrupt if that changes.
+        # Loud guard: NaN.astype(int64) is INT64_MIN — silent corruption vs
+        # SQL null semantics.  This corpus is null-free by contract; refuse
+        # rather than corrupt if that changes.
         for c in ("l_quantity", "l_returnflag", "l_linestatus"):
             if batch.column(c).null_count:
                 raise NotImplementedError(
                     f"q1 assumes null-free {c}; SQL-null aggregation semantics "
                     "are not implemented in this query")
-        df = pd.DataFrame({
-            "l_returnflag": batch.column("l_returnflag").to_pandas(),
-            "l_linestatus": batch.column("l_linestatus").to_pandas(),
-            "qty": batch.column("l_quantity").to_numpy().astype(np.int64),
-            "price_c": _half_away_cents(batch.column("l_extendedprice").to_numpy()),
-            "disc_c": _half_away_cents(
+        # Arrow-native combiner: one hash-aggregate kernel per batch, no
+        # pandas object-dtype hop (round-4 VERDICT efficiency item 3).
+        pairs = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": pa.array(batch.column("l_quantity").to_numpy().astype(np.int64)),
+            "price_c": pa.array(_half_away_cents(batch.column("l_extendedprice").to_numpy())),
+            "disc_c": pa.array(_half_away_cents(
                 batch.column("l_extendedprice").to_numpy()
-                * (1.0 - batch.column("l_discount").to_numpy())),
+                * (1.0 - batch.column("l_discount").to_numpy()))),
         })
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False).agg(
-            sum_qty=("qty", "sum"), sum_price_c=("price_c", "sum"),
-            sum_disc_c=("disc_c", "sum"), cnt=("qty", "size"))
+        g = pairs.group_by(["l_returnflag", "l_linestatus"], use_threads=False) \
+            .aggregate([("qty", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+                        ([], "count_all")])
         # One JSON state row per batch: the final merge is a keyed tree
         # reduction, not a 6-key groupby (whose mostly-empty range
         # partitions emit the zero-column blocks behind the RefBundle
         # schema warnings — same fix as distinct_users_by_type).
-        st = {f"{r.l_returnflag}\x1f{r.l_linestatus}":
-              [int(r.sum_qty), int(r.sum_price_c), int(r.sum_disc_c), int(r.cnt)]
-              for r in g.itertuples()}
+        st = {f"{rf}\x1f{ls}": [qty, price, disc, cnt]
+              for rf, ls, qty, price, disc, cnt in zip(
+                  g.column("l_returnflag").to_pylist(),
+                  g.column("l_linestatus").to_pylist(),
+                  g.column("qty_sum").to_pylist(),
+                  g.column("price_c_sum").to_pylist(),
+                  g.column("disc_c_sum").to_pylist(),
+                  g.column("count_all").to_pylist())}
         return pa.table({"state": pa.array([json.dumps(st)], pa.large_string())})
 
     from engine.stages import keyed_tree_reduce
@@ -187,19 +192,17 @@ def grouped_stats_orderpriority(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "o_orderpriority": batch.column("o_orderpriority").to_pandas(),
-            "cents": _half_away_cents(batch.column("o_totalprice").to_numpy()),
+        pairs = pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(_half_away_cents(batch.column("o_totalprice").to_numpy())),
         })
-        g = df.groupby("o_orderpriority", as_index=False, dropna=False).agg(
-            n=("cents", "size"), sum_c=("cents", "sum"),
-            min_c=("cents", "min"), max_c=("cents", "max"))
+        g = pairs.group_by(["o_orderpriority"], use_threads=False).aggregate(
+            [([], "count_all"), ("cents", "sum"), ("cents", "min"), ("cents", "max")])
         # Keyed-tree-reduce finalize (see q1): one JSON state row per batch.
-        st = {str(r.o_orderpriority):
-              [int(r.n), int(r.sum_c), int(r.min_c), int(r.max_c)]
-              for r in g.itertuples()}
+        st = {str(k): [n, s, lo, hi] for k, n, s, lo, hi in zip(
+            g.column("o_orderpriority").to_pylist(),
+            g.column("count_all").to_pylist(), g.column("cents_sum").to_pylist(),
+            g.column("cents_min").to_pylist(), g.column("cents_max").to_pylist())}
         return pa.table({"state": pa.array([json.dumps(st)], pa.large_string())})
 
     from engine.stages import keyed_tree_reduce
@@ -409,28 +412,24 @@ def distinct_users_by_type(sf_dir: str):
     approximate per-group path is hll_users_by_type (one HLL sketch per
     group, merged per type), accuracy-gated against this query in tests.
     """
-    import pandas as pd
-
     from engine.stages import keyed_tree_reduce
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def dedup_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": batch.column("event_type").to_pandas(),
-            "user_id": batch.column("user_id").to_numpy(),
-        }).drop_duplicates()
-        return pa.table({"event_type": pa.array(df["event_type"], pa.string()),
-                         "user_id": pa.array(df["user_id"].to_numpy())})
+        # Arrow hash-aggregate with no value columns == per-batch DISTINCT.
+        return batch.select(["event_type", "user_id"]) \
+            .group_by(["event_type", "user_id"], use_threads=False).aggregate([])
 
     pairs = ds.map_batches(dedup_partial, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .groupby(["event_type", "user_id"]).count()
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        vc = pd.Series(batch.column("event_type").to_pandas()).value_counts()
+        vc = pc.value_counts(batch.column("event_type"))
         return pa.table({"state": pa.array(
-            [json.dumps({str(k): int(v) for k, v in vc.items()})],
+            [json.dumps({str(k): int(v) for k, v in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist())})],
             pa.large_string())})
 
     merged = keyed_tree_reduce(
@@ -646,11 +645,9 @@ def orders_per_segment(sf_dir: str):
             on=("o_custkey",), right_on=("c_custkey",))
 
         def partial_counts(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            g = pd.DataFrame({"c_mktsegment": batch.column("c_mktsegment").to_pandas()}) \
-                .groupby("c_mktsegment", as_index=False).size().rename(columns={"size": "n"})
-            return pa.Table.from_pandas(g, preserve_index=False)
+            vc = pc.value_counts(batch.column("c_mktsegment"))
+            return pa.table({"c_mktsegment": pc.cast(vc.field("values"), pa.string()),
+                             "n": vc.field("counts")})
 
         tagged = joined.map_batches(partial_counts, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -1225,16 +1222,15 @@ def ipc_events_daily(sf_dir: str):
 
 def _events_daily_agg(ds):
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "event_type": batch.column("event_type").to_pandas(),
-            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
-            "value_c": _half_away_cents(batch.column("value").to_numpy(), 10000.0),
+        pairs = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+            "value_c": pa.array(_half_away_cents(batch.column("value").to_numpy(),
+                                                 10000.0)),
         })
-        g = df.groupby(["event_type", "day"], as_index=False, dropna=False).agg(
-            n=("value_c", "size"), sum_c=("value_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pairs.group_by(["event_type", "day"], use_threads=False).aggregate(
+            [([], "count_all"), ("value_c", "sum")])
+        return g.rename_columns(["event_type", "day", "n", "sum_c"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1596,8 +1592,6 @@ def grouping_sets(sf_dir: str, sets: list[tuple[str, ...]]):
     on EMPTY input — both exactly SQL GROUPING SETS semantics (gated by
     tests on the rollup specialization).
     """
-    import pandas as pd
-
     for s in sets:
         assert set(s) <= set(GROUPING_KEYS), s
 
@@ -1605,15 +1599,14 @@ def grouping_sets(sf_dir: str, sets: list[tuple[str, ...]]):
                                           "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "priority": batch.column("o_orderpriority").to_pandas(),
-            "month": pc.strftime(batch.column("o_orderdate"),
-                                 format="%Y-%m").to_pandas(),
-            "cents": _half_away_cents(batch.column("o_totalprice").to_numpy()),
+        pairs = pa.table({
+            "priority": batch.column("o_orderpriority"),
+            "month": pc.strftime(batch.column("o_orderdate"), format="%Y-%m"),
+            "cents": pa.array(_half_away_cents(batch.column("o_totalprice").to_numpy())),
         })
-        g = df.groupby(["priority", "month"], as_index=False, dropna=False).agg(
-            n=("cents", "size"), cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pairs.group_by(["priority", "month"], use_threads=False).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["priority", "month", "n", "cents"])
 
     detail = ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True) \
@@ -1710,19 +1703,16 @@ def events_moving_avg(sf_dir: str, window: int = 7):
     events.  Averages are exact integer-count ratios rounded half-away
     (matches SQL ROUND on COUNT aggregates).
     """
-    import pandas as pd
-
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "event_type": batch.column("event_type").to_pandas(),
-            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
+        pairs = pa.table({
+            "event_type": batch.column("event_type"),
+            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
         })
-        g = df.groupby(["event_type", "day"], as_index=False, dropna=False).size()
-        return pa.table({"event_type": pa.array(g["event_type"], pa.string()),
-                         "day": pa.array(g["day"], pa.string()),
-                         "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+        g = pairs.group_by(["event_type", "day"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "n"])
 
     def frame_per_type(group: pa.Table) -> pa.Table:
         order = np.argsort(group.column("day").to_numpy(zero_copy_only=False),
@@ -3895,17 +3885,10 @@ def revenue_by_segment_day(sf_dir: str):
     )
 
     def agg_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({
-            "segment": batch.column("segment").to_pandas(),
-            "month": batch.column("month").to_pandas(),
-            "rev_c": batch.column("rev_c").to_numpy(),
-            "n_items": batch.column("n_items").to_numpy(),
-        })
-        g = df.groupby(["segment", "month"], as_index=False, dropna=False).agg(
-            n=("n_items", "sum"), rev_c=("rev_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select(["segment", "month", "n_items", "rev_c"]) \
+            .group_by(["segment", "month"], use_threads=False) \
+            .aggregate([("n_items", "sum"), ("rev_c", "sum")])
+        return g.rename_columns(["segment", "month", "n", "rev_c"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -514,22 +514,7 @@ def exact_group_quantiles(ds, key: str, value_col: str,
     Interpolation matches SQL percentile_cont: h = (n-1) * q,
     v = v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * frac(h).
     """
-    import pandas as pd
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "k": batch.column(key).to_pandas(),
-            "v": batch.column(value_col).to_numpy().astype(np.float64),
-        })
-        g = df.groupby(["k", "v"], sort=False, observed=True, dropna=False).size().reset_index(name="cnt")
-        return pa.table({key: pa.array(g["k"], pa.string()),
-                         value_col: pa.array(g["v"], pa.float64()),
-                         "cnt": pa.array(g["cnt"], pa.int64())})
-
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key, value_col]).sum("cnt")
-    ).to_pandas()   # bounded by contract: groups x distinct values
+    counts = group_value_counts(ds, key, value_col)
 
     out_keys: list[str] = []
     out_cols: dict[str, list[float]] = {name: [] for name in qs}
@@ -563,24 +548,7 @@ def exact_group_mad(ds, key: str, value_col: str) -> pa.Table:
     (median lands on halves, the deviation median on quarters), so the
     result hash-matches a percentile_cont-defined SQL oracle without any
     rounding."""
-    import pandas as pd
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "k": batch.column(key).to_pandas(),
-            "v": batch.column(value_col).to_numpy().astype(np.float64),
-        })
-        g = df.groupby(["k", "v"], sort=False, observed=True,
-                       dropna=False).size().reset_index(name="cnt")
-        return pa.table({key: pa.array(g["k"], pa.string()),
-                         value_col: pa.array(g["v"], pa.float64()),
-                         "cnt": pa.array(g["cnt"], pa.int64())})
-
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby([key, value_col]).sum("cnt")
-    ).to_pandas()   # bounded by contract: groups x distinct values
+    counts = group_value_counts(ds, key, value_col)
 
     def _median_from_counts(vals: np.ndarray, cnts: np.ndarray) -> float:
         order = np.argsort(vals, kind="stable")
@@ -615,18 +583,16 @@ def group_value_counts(ds, key: str, value_col: str):
     (exact quantiles, MAD, mode, rank maps).  Same contract: the value
     domain must be bounded-cardinality, making the driver intake
     O(groups x distinct)."""
-    import pandas as pd
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "k": batch.column(key).to_pandas(),
-            "v": batch.column(value_col).to_numpy().astype(np.float64),
-        })
-        g = df.groupby(["k", "v"], sort=False, observed=True,
-                       dropna=False).size().reset_index(name="cnt")
-        return pa.table({key: pa.array(g["k"], pa.string()),
-                         value_col: pa.array(g["v"], pa.float64()),
-                         "cnt": pa.array(g["cnt"], pa.int64())})
+        # Arrow-native combiner: a single hash-aggregate kernel, no
+        # object-dtype pandas hop on the hottest per-batch path.
+        pairs = pa.table({key: batch.column(key),
+                          value_col: pc.cast(batch.column(value_col),
+                                             pa.float64())})
+        g = pairs.group_by([key, value_col],
+                           use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns([key, value_col, "cnt"])
 
     return (
         ds.map_batches(partial_counts, batch_format="pyarrow",
