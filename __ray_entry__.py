@@ -1781,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_orders": q.top10_orders,
         "repair_extract_events": q.repair_extract_events,
         "jsonl_repair_events": q.jsonl_repair_events,
+        "stream_stable_events": q.stream_stable_events,
         "jsonl_gz_repair_events": q.jsonl_gz_repair_events,
         "jsonl_zst_repair_events": q.jsonl_zst_repair_events,
         "token_stats_documents": q.token_stats_documents,
@@ -1911,7 +1912,7 @@ _ORACLE_PRIORITY = [
     "q1_pricing_summary", "grouped_stats_orderpriority",
     "dedup_exact_documents", "distinct_users_by_type", "orphan_orders",
     "orders_per_segment", "repair_extract_events",
-    "jsonl_repair_events", "token_stats_documents",
+    "jsonl_repair_events", "stream_stable_events", "token_stats_documents",
     "top_terms_per_document", "heavy_hitter_terms",
     "rolling_fingerprint",
     "events_daily_by_type",
@@ -1930,7 +1931,10 @@ _ORACLE_PRIORITY = [
     "jaccard_all_pairs", "duplicate_clusters",
     "embedding_near_dup_exact",
     "png_image_metadata", "jpeg_image_metadata",
-    "flac_audio_features", "flac_stereo_features", "audio_spectrogram_report",
+    # flac_stereo_features rotated out for stream_stable_events (round 5):
+    # redundant sibling of in-cap flac_audio_features; stays green in the
+    # full tools/check_oracles.py gate.
+    "flac_audio_features", "audio_spectrogram_report",
     "video_frame_sample", "clips_verdicts_vs_planted",
     "clips_violations_vs_planted",
     # round-4 session-4 new-family representatives (rotated in for the
@@ -1971,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "top10_orders": q.TOP10_ORDERS_SQL,
         "repair_extract_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_repair_events": q.REPAIR_EXTRACT_SQL,
+        "stream_stable_events": q.STREAM_STABLE_SQL,
         "jsonl_gz_repair_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_zst_repair_events": q.REPAIR_EXTRACT_SQL,
         "token_stats_documents": q.TOKEN_STATS_SQL,

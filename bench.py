@@ -238,6 +238,51 @@ def _run_scaling_pair(pair: tuple[int, ...], n_clips: int) -> dict | None:
     }
 
 
+# A query is flagged when its fresh median exceeds this multiple of its
+# recorded-history median — noise vs regression decided by data, not
+# narrative (round-4 VERDICT item 5: the r03->r04 dedup_exact/minhash
+# wobbles could only be argued about, not measured).
+TRIPWIRE_RATIO = 1.3
+
+
+def _tripwire(queries: dict[str, float]) -> dict:
+    """Per-query regression tripwire: compare each fresh median against the
+    median of that query across ALL prior bench/history.jsonl records at the
+    same sf.  Records with >= 2 history points are eligible (a single point
+    is itself one noisy draw)."""
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench", "history.jsonl")
+    past: dict[str, list[float]] = {}
+    try:
+        with open(hist_path) as fd:
+            for line in fd:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("sf") != _sf_label():
+                    continue
+                for name, sec in (rec.get("queries") or {}).items():
+                    past.setdefault(name, []).append(float(sec))
+    except OSError:
+        return {"threshold_ratio": TRIPWIRE_RATIO, "flagged": {},
+                "eligible_queries": 0}
+    flagged: dict[str, dict] = {}
+    eligible = 0
+    for name, sec in queries.items():
+        hist = past.get(name, [])
+        if len(hist) < 2:
+            continue
+        eligible += 1
+        base = _median(hist)
+        if base > 0 and sec > TRIPWIRE_RATIO * base:
+            flagged[name] = {"now_s": sec, "history_median_s": round(base, 3),
+                             "ratio": round(sec / base, 2),
+                             "history_points": len(hist)}
+    return {"threshold_ratio": TRIPWIRE_RATIO, "flagged": flagged,
+            "eligible_queries": eligible}
+
+
 def _append_history(record: dict) -> None:
     """Round-over-round regression signal: bench/history.jsonl, one line/run."""
     try:
@@ -332,11 +377,13 @@ def main() -> None:
                  os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",") if x.strip())
     scaling = _run_scaling_pair(pair, inline_clips)
     total = round(time.time() - t_all, 2)
+    all_queries = {"validate_clips": flagship["wall_s"], **queries}
     record = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {"validate_clips": flagship["wall_s"], **queries},
+        "queries": all_queries,
+        "tripwire": _tripwire(all_queries),
         "sf": _sf_label(),
         "num_cpus": NUM_CPUS,
         "validated_clips_per_s": flagship["clips_per_s"],

@@ -732,6 +732,92 @@ FROM events ORDER BY event_id
 """
 
 
+def stream_stable_events(sf_dir: str):
+    """Table-level ``stream_stable`` differential (reference spec:
+    tests/test_json_repair.py:286-300): each event derives a deterministic
+    transcript ``{"m": "a\\nb<k>"}`` (literal backslash-n escape inside the
+    string) and two ACCUMULATION POINTS of it — the prefixes a streaming
+    consumer would hold at times t1 < t2, planted by event_id % 3 to land
+    mid-escape (after the backslash / after the ``n``) or mid-string:
+
+        cls 0: t1 ends after the backslash, t2 after the ``n``
+        cls 1: t1 ends after the ``n``,     t2 is the complete document
+        cls 2: t1 ends mid-string (clean),  t2 is the complete document
+
+    Both prefixes are repaired twice — stream_stable=True and False — and
+    ``prefix_stable_*`` reports the monotone-prefix property: the repaired
+    output at t1, minus its auto-closing ``"}``, is a prefix of the repaired
+    output at t2.  With stream_stable=True this holds for every class; with
+    the default it FAILS for cls 0 (the dangling backslash is escaped into
+    the value at t1, then vanishes at t2) — exactly the instability the flag
+    exists to remove.  Every output cell has a closed form in the planted
+    inputs, so the whole table hash-matches a pure-SQL oracle.
+    """
+    from engine.repair.api import repair_json as _repair
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        ks = [json.loads(s)["k"] for s in batch.column("props").to_pylist()]
+        out = {"event_id": ids, "r1_stable": [], "r2_stable": [],
+               "prefix_stable": [], "r1_default": [], "r2_default": [],
+               "prefix_default": []}
+        for eid, k in zip(ids, ks):
+            full = '{"m": "a\\nb%d"}' % k
+            cls = eid % 3
+            if cls == 0:
+                t1, t2 = full[:9], full[:10]       # ...a\   /  ...a\n
+            elif cls == 1:
+                t1, t2 = full[:10], full           # ...a\n  /  complete
+            else:
+                t1, t2 = full[:-2], full           # mid-string / complete
+            for flag, r1_col, r2_col, p_col in (
+                    (True, "r1_stable", "r2_stable", "prefix_stable"),
+                    (False, "r1_default", "r2_default", "prefix_default")):
+                r1 = _repair(t1, stream_stable=flag, skip_json_loads=True)
+                r2 = _repair(t2, stream_stable=flag, skip_json_loads=True)
+                out[r1_col].append(r1)
+                out[r2_col].append(r2)
+                out[p_col].append(r2.startswith(r1[:-2]))
+        return pa.table({
+            "event_id": pa.array(out["event_id"]),
+            "r1_stable": pa.array(out["r1_stable"], pa.string()),
+            "r2_stable": pa.array(out["r2_stable"], pa.string()),
+            "prefix_stable": pa.array(out["prefix_stable"], pa.bool_()),
+            "r1_default": pa.array(out["r1_default"], pa.string()),
+            "r2_default": pa.array(out["r2_default"], pa.string()),
+            "prefix_default": pa.array(out["prefix_default"], pa.bool_()),
+        })
+
+    return _read(sf_dir, "events", columns=["event_id", "props"]) \
+        .map_batches(per_row, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("event_id")
+
+
+# Closed forms of the repaired outputs per truncation class (single-quoted
+# SQL literals: backslash is a literal character, so '\n' is two chars —
+# exactly the escape sequence the repair kernel emits).
+STREAM_STABLE_SQL = """
+WITH e AS (
+  SELECT event_id, event_id % 3 AS cls,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_id,
+  CASE cls WHEN 0 THEN '{"m": "a"}'
+           WHEN 1 THEN '{"m": "a\\n"}'
+           ELSE '{"m": "a\\nb' || k || '"}' END AS r1_stable,
+  CASE cls WHEN 0 THEN '{"m": "a\\n"}'
+           ELSE '{"m": "a\\nb' || k || '"}' END AS r2_stable,
+  TRUE AS prefix_stable,
+  CASE cls WHEN 0 THEN '{"m": "a\\\\"}'
+           WHEN 1 THEN '{"m": "a"}'
+           ELSE '{"m": "a\\nb' || k || '"}' END AS r1_default,
+  CASE cls WHEN 0 THEN '{"m": "a"}'
+           ELSE '{"m": "a\\nb' || k || '"}' END AS r2_default,
+  (cls <> 0) AS prefix_default
+FROM e ORDER BY event_id
+"""
+
+
 _JSONL_CACHE_VERSION = "v1"
 
 

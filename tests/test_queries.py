@@ -16,6 +16,7 @@ FAST_ORACLED = [
     "orders_per_segment",
     "top10_orders",
     "repair_extract_events",
+    "stream_stable_events",
     "token_stats_documents",
     "events_daily_by_type",
     "knn_cosine_top10",
