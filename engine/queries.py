@@ -793,6 +793,80 @@ def stream_stable_events(sf_dir: str):
         .sort("event_id")
 
 
+#: Schema for the typed-extract differential: integer coercion on ``k``
+#: (planted as a quoted string in every class), plus a default-filled
+#: ``src`` — the C10 parser↔schema bridge surface, projected to columns.
+TYPED_EXTRACT_SCHEMA = {
+    "type": "object",
+    "properties": {"k": {"type": "integer"}, "tag": {"type": "string"},
+                   "score": {"type": "number"}, "flag": {"type": "boolean"},
+                   "src": {"type": "string", "default": "evt"}},
+    "required": ["k", "tag", "score", "flag"],
+}
+
+
+def repair_typed_extract_events(sf_dir: str):
+    """Typed-column projection of SCHEMA-GUIDED repair (the natural
+    user-facing surface of the parser↔schema bridge): each event derives a
+    deterministic transcript carrying four typed fields with ``k`` planted
+    as a quoted string, malformed by event_id % 4 — unquoted keys + single
+    quotes / trailing comma / dropped closing brace / valid JSON.  The
+    kernel repairs each row against ``TYPED_EXTRACT_SCHEMA`` (coercing
+    ``"k"``→int, filling the ``src`` default), and the schema-known scalar
+    fields land in REAL Arrow columns (int64/string/float64/bool/string)
+    instead of a serialized JSON string.  Every field has a closed form in
+    the planted input, so the typed table hash-matches a pure-SQL oracle.
+    """
+    from engine.repair.api import repair_json as _repair
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        ks = [json.loads(s)["k"] for s in batch.column("props").to_pylist()]
+        out = {"k": [], "tag": [], "score": [], "flag": [], "src": []}
+        for eid, k in zip(ids, ks):
+            tag, score, flag = f"t{eid % 5}", k / 4.0, eid % 2 == 0
+            cls = eid % 4
+            if cls == 0:
+                text = "{k: '%d', tag: '%s', score: %s, flag: %s}" % (
+                    k, tag, score, str(flag).lower())
+            elif cls == 1:
+                text = '{"k": "%d", "tag": "%s", "score": %s, "flag": %s,}' % (
+                    k, tag, score, str(flag).lower())
+            elif cls == 2:
+                text = '{"k": "%d", "tag": "%s", "score": %s, "flag": %s' % (
+                    k, tag, score, str(flag).lower())
+            else:
+                text = '{"k": "%d", "tag": "%s", "score": %s, "flag": %s}' % (
+                    k, tag, score, str(flag).lower())
+            v = _repair(text, schema=TYPED_EXTRACT_SCHEMA, return_objects=True,
+                        skip_json_loads=True)
+            for col in ("k", "tag", "score", "flag", "src"):
+                out[col].append(v[col])
+        return pa.table({
+            "event_id": pa.array(ids),
+            "k": pa.array(out["k"], pa.int64()),
+            "tag": pa.array(out["tag"], pa.string()),
+            "score": pa.array(out["score"], pa.float64()),
+            "flag": pa.array(out["flag"], pa.bool_()),
+            "src": pa.array(out["src"], pa.string()),
+        })
+
+    return _read(sf_dir, "events", columns=["event_id", "props"]) \
+        .map_batches(per_row, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("event_id")
+
+
+TYPED_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       't' || CAST(event_id % 5 AS VARCHAR) AS tag,
+       CAST(json_extract(props, '$.k') AS DOUBLE) / 4.0 AS score,
+       (event_id % 2 = 0) AS flag,
+       'evt' AS src
+FROM events ORDER BY event_id
+"""
+
+
 # Closed forms of the repaired outputs per truncation class (single-quoted
 # SQL literals: backslash is a literal character, so '\n' is two chars —
 # exactly the escape sequence the repair kernel emits).

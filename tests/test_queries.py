@@ -17,6 +17,7 @@ FAST_ORACLED = [
     "top10_orders",
     "repair_extract_events",
     "stream_stable_events",
+    "repair_typed_extract_events",
     "token_stats_documents",
     "events_daily_by_type",
     "knn_cosine_top10",
@@ -48,7 +49,9 @@ FAST_ORACLED = [
     "user_transition_diversity",
     "source_quality_report",
     "quantity_histogram",
+    "duplicate_clusters_distributed",
     # rotated out of the driver oracle cap — keep per-commit coverage here:
+    "user_running_value",
     "purchase_attribution_forward",
     "lineitem_quantity_ranks",
     "g711_audio_features",
