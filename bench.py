@@ -245,13 +245,14 @@ def _run_scaling_pair(pair: tuple[int, ...], n_clips: int) -> dict | None:
 TRIPWIRE_RATIO = 1.3
 
 
-def _tripwire(queries: dict[str, float]) -> dict:
+def _tripwire(queries: dict[str, float], hist_path: str | None = None) -> dict:
     """Per-query regression tripwire: compare each fresh median against the
     median of that query across ALL prior bench/history.jsonl records at the
     same sf.  Records with >= 2 history points are eligible (a single point
     is itself one noisy draw)."""
-    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench", "history.jsonl")
+    if hist_path is None:
+        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench", "history.jsonl")
     past: dict[str, list[float]] = {}
     try:
         with open(hist_path) as fd:
