@@ -702,12 +702,34 @@ def heavy_hitter_terms(docs_ds, *, k: int = 10, capacity: int = 4096,
                                 zero_copy_batch=True),
             lambda a, b: a + b)
 
-    exact = count_terms(ray.put(set(summary.counts)))
+    # Candidate pre-cut (mergeable-MG error bound): for every summary term
+    # 0 ≤ true - est ≤ err with err = (N - S)/(capacity + 1), and the true
+    # k-th count is ≥ the k-th largest ESTIMATE (each of the top-k-by-est
+    # has true ≥ est ≥ kth_est).  So only terms with est + err ≥ kth_est
+    # can reach the true top-k — exact-count just those instead of the
+    # whole summary (on peaked distributions this is ~k terms, and pass-2's
+    # per-token membership hits shrink with it; r05 tripwire finding).
+    ests = dict(summary.counts)
+    err = (n_total - s_total) // (summary.capacity + 1)
+    est_desc = sorted(ests.values(), reverse=True)
+    kth_est = est_desc[k - 1] if len(est_desc) >= k else 0
+    cand = {t for t, e in ests.items() if e + err >= kth_est}
+    max_excluded = max((e + err for t, e in ests.items() if t not in cand),
+                       default=0)
+
+    exact = count_terms(ray.put(cand))
     top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    kth = top[-1][1] if len(top) == k else 0
+    if (len(top) < k or kth <= max_excluded) and cand != set(ests):
+        # Not strictly separable from the excluded in-summary terms (an
+        # excluded term could tie and win on term order): recount the full
+        # summary — correctness first, the pre-cut is only an optimization.
+        exact = count_terms(ray.put(set(ests)))
+        top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        kth = top[-1][1] if len(top) == k else 0
     # Certificate: absent terms have true count ≤ (N - S)/(capacity + 1);
     # integer-exact form of kth > bound.  A short result (< k rows) can
     # also be displaced by an absent term, so it must pass the same gate.
-    kth = top[-1][1] if len(top) == k else 0
     lost = n_total - s_total                # decrement mass; 0 ⇒ summary complete
     if lost > 0 and kth * (summary.capacity + 1) <= lost:
         exact = count_terms(None)           # full-vocab fallback, exact

@@ -1009,42 +1009,44 @@ def with_row_number(ds, keys: list[str], *, out_col: str = "row_number"):
     schema = ds.schema()   # before the sort: an all-empty sorted dataset
     key_types = {k: schema.types[schema.names.index(k)] for k in keys}
 
-    # Materialize the input once: the null-key pre-check below and the sort
-    # both consume it without re-executing the upstream lineage.
-    src = ds.materialize()
-    if src.count() == 0:
-        empty = pa.Table.from_arrays(
-            [pa.array([], t) for t in schema.types]
-            + [pa.array([], pa.int64())], names=list(schema.names) + [out_col])
-        return ray.data.from_arrow(empty)
-
     # NULL/NaN key values break the operator twice over: Ray's sort itself
     # crashes comparing None at partition boundaries, and the driver-side
     # offset sort (Python tuple compare) has no matching null ordering.
-    # Check BEFORE the sort, key columns only, and reject loudly.
-    def key_null_counts(batch: pa.Table) -> pa.Table:
-        cols = {}
+    # The check is FUSED into the sort's own input scan (raising inside the
+    # task with the named error) — a separate pre-check pass doubled the
+    # operator's wall time (r05 tripwire finding).
+    def reject_null_keys(batch: pa.Table) -> pa.Table:
         for k in keys:
             col = batch.column(k)
             try:
                 bad = pc.is_null(col, nan_is_null=True)
             except pa.ArrowNotImplementedError:
                 bad = pc.is_null(col)
-            cols[k] = pa.array([pc.sum(bad).as_py() or 0], pa.int64())
-        return pa.table(cols)
+            n_bad = pc.sum(bad).as_py() or 0
+            if n_bad:
+                raise ValueError(
+                    f"with_row_number: sort key column {k!r} has {n_bad} "
+                    f"NULL/NaN values in a block — null ordering is not "
+                    f"total; filter or fill the key column first")
+        return batch
 
-    nulls = src.select_columns(list(keys)).map_batches(
-        key_null_counts, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    for k in keys:
-        n_bad = sum(r[k] for r in nulls)
-        if n_bad:
-            raise ValueError(
-                f"with_row_number: sort key column {k!r} has {n_bad} "
-                f"NULL/NaN values — null ordering is not total; filter or "
-                f"fill the key column first")
-
-    sorted_ds = src.sort(keys).materialize()
+    checked = ds.map_batches(reject_null_keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    try:
+        sorted_ds = checked.sort(keys).materialize()
+    except Exception as err:
+        # Ray wraps the task's ValueError in RayTaskError(UserCodeException);
+        # restore the typed, column-naming error at the operator boundary.
+        marker = "with_row_number: sort key column"
+        msg = str(err)
+        if marker in msg:
+            raise ValueError(msg[msg.index(marker):].splitlines()[0]) from None
+        raise
+    if sorted_ds.count() == 0:
+        empty = pa.Table.from_arrays(
+            [pa.array([], t) for t in schema.types]
+            + [pa.array([], pa.int64())], names=list(schema.names) + [out_col])
+        return ray.data.from_arrow(empty)
 
     def _first_key(batch: pa.Table) -> str:
         return json.dumps([str(batch.column(k)[0].as_py()) for k in keys])
