@@ -122,6 +122,9 @@ QUERY_BENCH_NAMES = [
     "decontaminate_documents", "profile_events",
     "lineitem_constraint_summary", "user_order_activity",
     "documents_diff", "events_checks_report",
+    # round-5 surfaces
+    "stream_stable_events", "repair_typed_extract_events",
+    "decontaminate_documents_bloom", "profile_events_approx",
 ]
 
 # Recorded per-query numbers are the median of this many sweeps: a single
