@@ -1846,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": q.profile_events,
         "profile_lineitem": q.profile_lineitem,
         "events_checks_report": q.events_checks_report,
+        "events_key_skew": q.events_key_skew,
         "event_type_transitions": q.event_type_transitions,
         "user_transition_diversity": q.user_transition_diversity,
         "source_quality_report": q.source_quality_report,
@@ -2047,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": q.PROFILE_EVENTS_SQL,
         "profile_lineitem": q.PROFILE_LINEITEM_SQL,
         "events_checks_report": q.EVENTS_CHECKS_SQL,
+        "events_key_skew": q.EVENTS_KEY_SKEW_SQL,
         "event_type_transitions": q.EVENT_TRANSITIONS_SQL,
         "user_transition_diversity": q.USER_TRANSITION_DIVERSITY_SQL,
         "source_quality_report": q.SOURCE_QUALITY_SQL,

@@ -3576,6 +3576,89 @@ FROM events"""
 PROFILE_EVENTS_SQL = _profile_events_sql()
 
 
+def events_key_skew(sf_dir: str):
+    """Key-SKEW diagnostics — the measurement companion of the engine's
+    salted shuffles (north_rule: "skew handled explicitly"): per candidate
+    partition key, the distributed per-key counts reduce to one summary
+    row of exact skew statistics, including the integer ``salt_factor``
+    (ceil(max_cnt / avg_cnt)) a pipeline would salt that key by.
+
+    Contract: bounded-cardinality keys (the driver intake is O(distinct));
+    for unbounded keys use heavy_hitter_terms on the key column instead —
+    the hot keys are what salting needs, not the full histogram.  Shuffle
+    volume is one (key, cnt) row per batch per distinct value (pc.value_
+    counts partial), the same shape as every bounded-domain statistic.
+    Empty input yields zero rows (matching the SQL HAVING guard)."""
+    rows: dict[str, list] = {"key_col": [], "n_keys": [], "n_rows": [],
+                             "max_cnt": [], "min_cnt": [], "cv": [],
+                             "p50_cnt": [], "top1_share": [],
+                             "salt_factor": []}
+    for key in ("event_type", "user_id"):
+        ds = _read(sf_dir, "events", columns=[key])
+
+        def partial(batch: pa.Table, key=key) -> pa.Table:
+            vc = pc.value_counts(batch.column(key))
+            return pa.table({key: vc.field("values"),
+                             "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+        counts = ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby(key).sum("cnt").to_pandas()   # bounded by contract
+        # Empty input: Ray's Aggregate degrades to a schema-less empty
+        # frame — zero report rows, matching the SQL HAVING guard.
+        if len(counts) == 0 or "sum(cnt)" not in counts.columns:
+            continue
+        cnt = counts["sum(cnt)"].to_numpy(dtype=np.float64)
+        n_keys, n_rows = int(cnt.size), int(cnt.sum())
+        mx, mn = int(cnt.max()), int(cnt.min())
+        rows["key_col"].append(key)
+        rows["n_keys"].append(n_keys)
+        rows["n_rows"].append(n_rows)
+        rows["max_cnt"].append(mx)
+        rows["min_cnt"].append(mn)
+        # population stddev / mean — matches SQL STDDEV_POP(cnt)/AVG(cnt)
+        rows["cv"].append(float(_half_away_round(
+            float(np.std(cnt)) / float(cnt.mean()), 6)))
+        # percentile_cont(0.5): linear interpolation, exact halves on ints
+        rows["p50_cnt"].append(float(_half_away_round(
+            float(np.percentile(cnt, 50, method="linear")), 6)))
+        rows["top1_share"].append(float(_half_away_round(mx / n_rows, 6)))
+        # integer ceil(max * n_keys / n_rows): exact, no float boundary
+        rows["salt_factor"].append((mx * n_keys + n_rows - 1) // n_rows)
+    return pa.table({
+        "key_col": pa.array(rows["key_col"], pa.string()),
+        "n_keys": pa.array(rows["n_keys"], pa.int64()),
+        "n_rows": pa.array(rows["n_rows"], pa.int64()),
+        "max_cnt": pa.array(rows["max_cnt"], pa.int64()),
+        "min_cnt": pa.array(rows["min_cnt"], pa.int64()),
+        "cv": pa.array(rows["cv"], pa.float64()),
+        "p50_cnt": pa.array(rows["p50_cnt"], pa.float64()),
+        "top1_share": pa.array(rows["top1_share"], pa.float64()),
+        "salt_factor": pa.array(rows["salt_factor"], pa.int64()),
+    })
+
+
+def _key_skew_sql() -> str:
+    def block(col: str) -> str:
+        return f"""
+SELECT '{col}' AS key_col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+  CAST(MAX(cnt) AS BIGINT) AS max_cnt, CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+  ROUND(STDDEV_POP(cnt) / AVG(cnt), 6) AS cv,
+  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY cnt), 6) AS p50_cnt,
+  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share,
+  CAST((MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt) AS BIGINT)
+    AS salt_factor
+FROM (SELECT {col}, COUNT(*) AS cnt FROM events GROUP BY {col})
+HAVING COUNT(*) > 0"""
+
+    return ("\nUNION ALL\n".join(block(c) for c in ("event_type", "user_id"))
+            + "\nORDER BY key_col")
+
+
+EVENTS_KEY_SKEW_SQL = _key_skew_sql()
+
+
 def events_checks_report(sf_dir: str):
     """The pluggable check REGISTRY (engine/checks/registry.py — the
     user-extension surface) run through the oracle gate: one streaming

@@ -28,7 +28,9 @@ EMPTY_SAFE = ["distinct_users_by_type", "distinct_users_events",
               "per_group_sample_documents", "profile_events",
               "lineitem_constraint_summary", "term_frequency_spectrum",
               "boilerplate_ngrams", "user_order_activity",
-              "event_type_transitions"]
+              "event_type_transitions",
+              # round-5: zero rows on empty input (SQL HAVING guard)
+              "events_key_skew"]
 
 
 @pytest.fixture(scope="module")

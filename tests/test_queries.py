@@ -45,6 +45,7 @@ FAST_ORACLED = [
     "documents_diff",
     "profile_lineitem",
     "events_checks_report",
+    "events_key_skew",
     "event_type_transitions",
     "user_transition_diversity",
     "source_quality_report",
