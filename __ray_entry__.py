@@ -1787,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q.distinct_users_by_type,
         "orphan_orders": q.orphan_orders,
         "orders_per_segment": q.orders_per_segment,
+        "orders_price_bands": q.orders_price_bands,
         "top10_orders": q.top10_orders,
         "repair_extract_events": q.repair_extract_events,
         "jsonl_repair_events": q.jsonl_repair_events,
@@ -1989,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": q.DISTINCT_BY_TYPE_SQL,
         "orphan_orders": q.ORPHAN_ORDERS_SQL,
         "orders_per_segment": q.ORDERS_PER_SEGMENT_SQL,
+        "orders_price_bands": q.ORDERS_PRICE_BANDS_SQL,
         "top10_orders": q.TOP10_ORDERS_SQL,
         "repair_extract_events": q.REPAIR_EXTRACT_SQL,
         "jsonl_repair_events": q.REPAIR_EXTRACT_SQL,

@@ -681,6 +681,79 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+#: (band, lo, hi) half-open price bands — the broadcast small side of the
+#: range join.  Names chosen so string sort order is stable (both sides
+#: ORDER BY band as a string).
+PRICE_BANDS = [
+    ("band1_lt50k", 0.0, 50_000.0),
+    ("band2_50k_150k", 50_000.0, 150_000.0),
+    ("band3_150k_300k", 150_000.0, 300_000.0),
+    ("band4_300k_450k", 300_000.0, 450_000.0),
+    ("band5_ge450k", 450_000.0, float("inf")),
+]
+
+
+def orders_price_bands(sf_dir: str):
+    """RANGE (banded non-equi) JOIN — the canonical broadcast shape: each
+    order joins the band whose half-open interval ``[lo, hi)`` contains
+    ``o_totalprice``.  The band table is the SMALL side, so instead of any
+    shuffle the sorted interior boundaries ride the task closure and every
+    batch resolves its band memberships with ONE ``np.searchsorted`` —
+    a vectorized non-equi join probe; per-band partials then merge through
+    the keyed tree reduction, so band skew (most orders in one band) never
+    concentrates on a shuffle partition.  Per-BATCH sums use float64
+    bincount weights (exact: batch_rows x max_cents < 2^53); the
+    cross-batch merge is arbitrary-precision Python int, so the total is
+    exact at any corpus size.  Empty bands are omitted, exactly like the
+    SQL INNER JOIN; boundary hits are IEEE double compares on both sides.
+    """
+    from engine.stages import keyed_tree_reduce
+
+    names = [b[0] for b in PRICE_BANDS]
+    interior = np.array([b[1] for b in PRICE_BANDS[1:]], dtype=np.float64)
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy()
+        idx = np.searchsorted(interior, v, side="right")   # [lo, hi) bands
+        cents = _half_away_cents(v)
+        cnt = np.bincount(idx, minlength=len(names))
+        sums = np.bincount(idx, weights=cents.astype(np.float64),
+                           minlength=len(names))
+        st = {names[i]: [int(cnt[i]), int(sums[i])]
+              for i in range(len(names)) if cnt[i]}
+        return pa.table({"state": pa.array([json.dumps(st)],
+                                           pa.large_string())})
+
+    merged = keyed_tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        lambda a, b: [a[0] + b[0], a[1] + b[1]])
+    keys = sorted(merged)
+    return pa.table({
+        "band": pa.array(keys, pa.string()),
+        "n_orders": pa.array([merged[k][0] for k in keys], pa.int64()),
+        "sum_price": pa.array(
+            [float(_half_away_round(merged[k][1] / 100.0, 2)) for k in keys],
+            pa.float64()),
+    })
+
+
+ORDERS_PRICE_BANDS_SQL = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('band1_lt50k', 0.0, 50000.0),
+  ('band2_50k_150k', 50000.0, 150000.0),
+  ('band3_150k_300k', 150000.0, 300000.0),
+  ('band4_300k_450k', 300000.0, 450000.0),
+  ('band5_ge450k', 450000.0, 1e308))
+SELECT band, COUNT(*) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
 # ------------------------------------------------------------------ sort/topk
 
 

@@ -14,6 +14,7 @@ FAST_ORACLED = [
     "distinct_users_events",
     "orphan_orders",
     "orders_per_segment",
+    "orders_price_bands",
     "top10_orders",
     "repair_extract_events",
     "stream_stable_events",
